@@ -1,0 +1,41 @@
+package graft.core
+
+/** The frozen shingle/signature configuration.
+  *
+  * BASELINE.json demands recall >= 0.99 "at the same shingle/signature
+  * config" between the pipeline and the reference (brute-force oracle)
+  * implementation. Every constant that influences a signature lives here and
+  * ONLY here, so pipeline and oracle cannot drift (SURVEY.md §7.4).
+  */
+final case class DedupConfig(
+    /** char k-gram length for shingling (after normalization) */
+    shingleK: Int = 5,
+    /** MinHash signature width */
+    numHashes: Int = 128,
+    /** LSH bands (bands * rowsPerBand == numHashes) */
+    bands: Int = 32,
+    /** LSH rows per band */
+    rowsPerBand: Int = 4,
+    /** exact Jaccard threshold for the near-duplicate predicate */
+    jaccardThreshold: Double = 0.7,
+    /** SimHash Hamming-block count (pigeonhole: <=hammingMax shares a block) */
+    simhashBlocks: Int = 4,
+    /** max Hamming distance for the SimHash near-duplicate predicate */
+    hammingMax: Int = 3,
+    /** min normalized length (chars) for the substring-containment predicate */
+    minContainLen: Int = 100,
+    /** winnowing window (shingles) for the substring candidate lane */
+    winnowWindow: Int = 32,
+    /** master seed for all hash families */
+    seed: Long = 42L,
+    /** cap on LSH bucket size before salted overflow handling (skew guard) */
+    maxBucketSize: Int = 64
+) {
+  require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+  require(64 % simhashBlocks == 0, "simhashBlocks must divide 64")
+}
+
+object DedupConfig {
+  /** THE frozen config — used by pipeline, oracle, and tests alike. */
+  val default: DedupConfig = DedupConfig()
+}

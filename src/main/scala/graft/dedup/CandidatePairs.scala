@@ -1,0 +1,116 @@
+package graft.dedup
+
+import graft.core.DedupConfig
+import graft.sketch.FreqSketch
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucket → candidate-pair expansion with explicit skew handling.
+  *
+  * Input: rows of (key: Long, id: Long) — an LSH band bucket, a SimHash
+  * block bucket, or a winnowing-fingerprint bucket. Output: unordered
+  * candidate pairs (a, b), a < b.
+  *
+  * Skew machinery (SURVEY.md §2.2 P7): hot bucket keys are detected with the
+  * Misra-Gries FreqSketch — the reference's `getFrequentKeys` heavy-hitter
+  * query (`FrequencyEstimator.java:75`, `FrequentItems.java:311-332`) run as
+  * a partial-aggregate (one tiny sketch per partition, merged on the driver,
+  * `FrequentItems.java:292-308` merge law) so hot-key detection costs O(k)
+  * driver bytes instead of a full per-key count shuffle. Hot keys are salted
+  * into ceil(size/cap) sub-buckets; within each (key, salt) group pairs are
+  * emitted all-pairs when small, sliding-window when large (bounding both
+  * per-bucket pair count AND per-vertex degree — which is what keeps the
+  * later CC joins hub-free); sub-buckets of a hot key are stitched with a
+  * chain over their min ids so true giant clusters stay connected.
+  */
+object CandidatePairs {
+
+  /** Per-vertex pairing window inside oversized buckets. */
+  final val Window = 16
+  /** Salt-group count bounds for hot keys. */
+  final val MaxSalts = 1024
+
+  final case class Bucket(key: Long, id: Long)
+
+  /** Detect bucket keys with (estimated) multiplicity >= threshold using a
+    * distributed-merged FreqSketch. Returns key -> upper-bound estimate. */
+  def hotKeys(buckets: Dataset[Bucket], threshold: Long, sketchK: Int = 4096): Map[Long, Long] = {
+    import buckets.sparkSession.implicits._
+    val partials: Array[Array[Byte]] = buckets.select($"key").as[Long]
+      .mapPartitions { it =>
+        val sk = FreqSketch(sketchK)
+        it.foreach(k => sk.update(k))
+        Iterator.single(sk.serialize())
+      }.collect()
+    val merged = partials.foldLeft(FreqSketch(sketchK)) { (acc, bytes) =>
+      acc.merge(FreqSketch.deserialize(bytes))
+    }
+    merged.frequentKeys(threshold).map { case (key, _, _, ub) => key -> ub }.toMap
+  }
+
+  /** Expand sorted in-bucket ids to pairs: all-pairs when |ids| <= cap,
+    * else sliding window of `Window` (bounded degree). */
+  private def expand(ids: Array[Long], cap: Int): Iterator[(Long, Long)] = {
+    java.util.Arrays.sort(ids)
+    val m = ids.length
+    if (m < 2) Iterator.empty
+    else if (m <= cap) {
+      for {
+        i <- Iterator.range(0, m)
+        j <- Iterator.range(i + 1, m)
+      } yield (ids(i), ids(j))
+    } else {
+      for {
+        i <- Iterator.range(0, m)
+        d <- Iterator.range(1, math.min(Window, m - i))
+      } yield (ids(i), ids(i + d))
+    }
+  }
+
+  /** Full skew-aware pair generation. */
+  def pairs(buckets: Dataset[Bucket], cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucketSize
+
+    val hot = hotKeys(buckets, cap.toLong)
+    val saltsFor: Map[Long, Int] = hot.map { case (k, ub) =>
+      k -> math.max(2, math.min(MaxSalts, (ub / cap).toInt + 1))
+    }
+    val bcSalts = spark.sparkContext.broadcast(saltsFor)
+
+    val saltOf = udf { (key: Long, id: Long) =>
+      val s = bcSalts.value.getOrElse(key, 1)
+      if (s <= 1) 0 else (Math.floorMod(graft.core.Murmur3.hashLong(id, key), s.toLong)).toInt
+    }
+
+    val grouped = buckets
+      .withColumn("salt", saltOf($"key", $"id"))
+      .groupBy($"key", $"salt")
+      .agg(collect_list($"id").as("ids"))
+      .select($"key", $"salt", $"ids".as[Array[Long]])
+      .as[(Long, Int, Array[Long])]
+
+    // pairs within each (key, salt) group
+    val within = grouped.flatMap { case (_, _, ids) => expand(ids, cap) }
+      .toDF("a", "b")
+
+    // chain stitching across salt groups of the same hot key
+    val chains = grouped
+      .filter($"salt" > 0 || udf((k: Long) => bcSalts.value.contains(k)).apply($"key"))
+      .map { case (key, salt, ids) => (key, salt, ids.min) }
+      .toDF("key", "salt", "minId")
+      .groupBy($"key").agg(sort_array(collect_list(struct($"salt", $"minId"))).as("reps"))
+      .select($"reps.minId".as[Array[Long]])
+      .flatMap { reps =>
+        if (reps.length < 2) Iterator.empty
+        else Iterator.range(0, reps.length - 1).map { i =>
+          val x = reps(i); val y = reps(i + 1)
+          if (x < y) (x, y) else (y, x)
+        }
+      }
+      .toDF("a", "b")
+
+    within.union(chains).where($"a" =!= $"b").distinct()
+  }
+}

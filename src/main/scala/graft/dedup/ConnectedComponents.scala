@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative self-join connected components (min-label propagation with
+  * pointer jumping), pure DataFrame — SURVEY.md §2.2 P9.
+  *
+  * Discipline grafted from the reference's merge-until-fixpoint contract
+  * (`FrequentItems.java:292-308`): per-round state is a mergeable (id →
+  * min-label) table; rounds are associative label-min joins; convergence is
+  * detected by an exact changed-count. `localCheckpoint` truncates lineage
+  * each round (iterative joins otherwise stack exponentially deep plans).
+  *
+  * Scale notes (100 TB story):
+  *  - vertices are derived from edges only — singleton clips never enter the
+  *    iteration (at web scale the vast majority of rows);
+  *  - per-vertex degree is bounded by construction upstream
+  *    ([[CandidatePairs]] window cap), so no hub vertex dominates a join
+  *    key — the usual CC killer — and AQE handles residual imbalance;
+  *  - pointer jumping (label := label(label)) makes rounds O(log diameter):
+  *    ~3 rounds for the chain-stitched giant clusters the corpus plants.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with long columns (a, b) — undirected unique pairs.
+    * @return DataFrame (id: Long, label: Long) — label = min id in component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrize once: messages must flow both ways
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint(true)
+
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate: every vertex offers its label to each neighbor
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), labels("label"))
+      val minLabels = msgs.union(labels.select($"id", $"label"))
+        .groupBy($"id").agg(min($"label").as("label"))
+      // pointer jumping: label := label's label (halves remaining diameter)
+      val l2 = minLabels.select($"id".as("lid"), $"label".as("llabel"))
+      val jumped = minLabels.as("x")
+        .join(l2.as("y"), col("x.label") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+
+      val changed = jumped.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

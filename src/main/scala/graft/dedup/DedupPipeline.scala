@@ -1,0 +1,103 @@
+package graft.dedup
+
+import graft.core.DedupConfig
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end near-duplicate detection + clustering pipeline
+  * (SURVEY.md §2.2 P1-P11) over the input-hint-shaped clips table.
+  *
+  * Stages (all declarative DataFrame ops + custom expressions; Catalyst
+  * prunes the audio `bytes` column out of every text stage automatically —
+  * only `clip_id`/`transcript` are ever selected here):
+  *
+  *   clips ─ features (normalize, simhash, LSH bands, simhash blocks,
+  *           winnow fingerprints; one pass, persisted)
+  *         ─ three candidate lanes (MinHash-LSH ∪ SimHash-blocks ∪
+  *           winnowing) through skew-aware [[CandidatePairs]]
+  *         ─ exact verification with the shared [[DupPredicate]]
+  *           (no false-positive pairs can survive)
+  *         ─ [[ConnectedComponents]] min-label clustering
+  *         ─ assignments + canonical representative per cluster.
+  */
+object DedupPipeline {
+
+  /** Per-clip signature table: (clip_id, id, norm, simhash, bands, blocks, fps). */
+  def features(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val norm = normalize_text(col("transcript"))
+    clips
+      .select(col("clip_id"), norm.as("norm"))
+      .select(
+        col("clip_id"),
+        hash_id(col("clip_id")).as("id"),
+        col("norm"),
+        simhash64(col("norm")).as("simhash"),
+        lsh_band_keys(col("norm")).as("bands"),
+        winnow_fps(col("norm")).as("fps"))
+      .withColumn("blocks", simhash_block_keys(col("simhash")))
+  }
+
+  private def lane(features: DataFrame, arrayCol: String, cfg: DedupConfig): DataFrame = {
+    import features.sparkSession.implicits._
+    val buckets = features
+      .select(explode(col(arrayCol)).as("key"), col("id"))
+      .as[CandidatePairs.Bucket]
+    CandidatePairs.pairs(buckets, cfg)
+  }
+
+  /** Union of the three candidate lanes, deduplicated. */
+  def candidates(features: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val lsh = lane(features, "bands", cfg)
+    val sim = lane(features, "blocks", cfg)
+    val fps = lane(features, "fps", cfg)
+    lsh.union(sim).union(fps).distinct()
+  }
+
+  /** Exact verification of candidate pairs with the oracle-shared predicate. */
+  def verifiedEdges(features: DataFrame, cands: DataFrame,
+                    cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val fa = features.select(col("id").as("a"), col("norm").as("norm_a"),
+      col("simhash").as("sim_a"))
+    val fb = features.select(col("id").as("b"), col("norm").as("norm_b"),
+      col("simhash").as("sim_b"))
+    cands
+      .join(fa, "a")
+      .join(fb, "b")
+      .where(is_dup_pair(col("norm_a"), col("norm_b"), col("sim_a"), col("sim_b")))
+      .select(col("a"), col("b"))
+  }
+
+  /** Full run: returns (clip_id, id, cluster, rep_clip_id, is_rep). `cluster`
+    * is the min hash-id in the component; `rep_clip_id` the lexicographically
+    * smallest clip_id in the cluster (deterministic canonical pick, P11). */
+  def run(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val f = features(clips, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidates(f, cfg)
+    val edges = verifiedEdges(f, cands, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = ConnectedComponents.run(edges, maxIter = 50)
+    assignments(f, labels)
+  }
+
+  /** Join clip ids to CC labels; absent vertices are their own singleton
+    * cluster. Canonical representative = min clip_id per cluster via a
+    * map-side-combinable groupBy (no window sort over the whole corpus). */
+  def assignments(features: DataFrame, labels: DataFrame): DataFrame = {
+    val ids = features.select(col("clip_id"), col("id"))
+    val withLabels = ids
+      .join(labels.withColumnRenamed("label", "cc_label"), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cc_label"), col("id")))
+      .select(col("clip_id"), col("id"), col("cluster"))
+    val reps = withLabels.groupBy(col("cluster"))
+      .agg(min(col("clip_id")).as("rep_clip_id"))
+    withLabels
+      .join(reps, "cluster")
+      .withColumn("is_rep", col("clip_id") === col("rep_clip_id"))
+      .select(col("clip_id"), col("id"), col("cluster"), col("rep_clip_id"), col("is_rep"))
+  }
+
+  /** Surviving rows after dedup: one full input row per cluster (P11). */
+  def dedupOutput(clips: DataFrame, assign: DataFrame): DataFrame =
+    clips.join(assign.where(col("is_rep")).select(col("clip_id"), col("cluster")), "clip_id")
+}

@@ -1,0 +1,214 @@
+package graft.functions
+
+import graft.core.DedupConfig
+import graft.text.TextFeatures
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the signature hot path.
+  *
+  * Per SURVEY.md §2.2 P3/P5 these are native `Expression`s rather than Scala
+  * UDFs: no Encoder round-trip, null handling from the expression contract,
+  * and they stay inside the WholeStageCodegen span (CodegenFallback evaluates
+  * the expression via its interpreted path but the surrounding stage still
+  * fuses — the dominant cost is the hash loops themselves, which run as
+  * tight JVM loops in [[graft.text.TextFeatures]]).
+  *
+  * The k-independent-seeded-hash pattern follows the reference's CountMin
+  * probe bank (`CountMin.java:118-121`, `CountMinFast.java:137-138`).
+  */
+object GraftFunctions {
+
+  private val cfg = DedupConfig.default
+
+  // ------------------------------------------------------------ expressions
+
+  /** normalize_text(s): canonical lowercase/whitespace-collapsed form. */
+  case class NormalizeText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextFeatures.normalize(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
+    override def prettyName: String = "graft_normalize_text"
+  }
+
+  /** minhash_sig(norm): K-wide MinHash signature of the shingle set. */
+  case class MinHashSig(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val sh = TextFeatures.shingleSet(s, cfg.shingleK, cfg.seed)
+      new GenericArrayData(TextFeatures.minhashSignature(sh, cfg))
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+    override def prettyName: String = "graft_minhash_sig"
+  }
+
+  /** lsh_band_keys(norm): the `bands` LSH bucket keys of the MinHash sig. */
+  case class LshBandKeys(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val sh = TextFeatures.shingleSet(s, cfg.shingleK, cfg.seed)
+      val sig = TextFeatures.minhashSignature(sh, cfg)
+      new GenericArrayData(TextFeatures.bandHashes(sig, cfg))
+    }
+    override protected def withNewChildInternal(c: Expression): LshBandKeys = copy(c)
+    override def prettyName: String = "graft_lsh_band_keys"
+  }
+
+  /** simhash64(norm): 64-bit token-TF SimHash. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextFeatures.simhash64(v.asInstanceOf[UTF8String].toString, cfg.seed)
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "graft_simhash64"
+  }
+
+  /** simhash_block_keys(sim): Hamming-pigeonhole block bucket keys. */
+  case class SimHashBlockKeys(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextFeatures.simhashBlockKeys(v.asInstanceOf[Long], cfg))
+    override protected def withNewChildInternal(c: Expression): SimHashBlockKeys = copy(c)
+    override def prettyName: String = "graft_simhash_block_keys"
+  }
+
+  /** winnow_fps(norm): winnowing fingerprints for the substring lane. */
+  case class WinnowFps(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(TextFeatures.winnowFingerprints(v.asInstanceOf[UTF8String].toString, cfg))
+    override protected def withNewChildInternal(c: Expression): WinnowFps = copy(c)
+    override def prettyName: String = "graft_winnow_fps"
+  }
+
+  /** jaccard_shingles(normA, normB): exact char-k-gram-set Jaccard. */
+  case class JaccardShingles(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = TextFeatures.shingleSet(a.asInstanceOf[UTF8String].toString, cfg.shingleK, cfg.seed)
+      val sb = TextFeatures.shingleSet(b.asInstanceOf[UTF8String].toString, cfg.shingleK, cfg.seed)
+      TextFeatures.jaccardSorted(sa, sb)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardShingles =
+      copy(l, r)
+    override def prettyName: String = "graft_jaccard_shingles"
+  }
+
+  /** is_dup_pair(normA, normB, simA, simB): THE near-duplicate predicate —
+    * shared verbatim with the brute-force oracle (DupPredicate). */
+  case class IsDupPair(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any, sa: Any, sb: Any): Any =
+      graft.dedup.DupPredicate.isDup(
+        a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
+        sa.asInstanceOf[Long], sb.asInstanceOf[Long], cfg)
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): IsDupPair =
+      copy(a, b, c, d)
+    override def prettyName: String = "graft_is_dup_pair"
+  }
+
+  /** hash_id(s): stable 64-bit id of a string key (raw, no normalization).
+    * At 10^12-row scale a 64-bit id has non-trivial birthday collision mass;
+    * production would widen to 128-bit (two columns) — the hash itself
+    * (Murmur3 x64) already yields 128 bits. Kept 64-bit here for compact
+    * joins; documented trade-off. */
+  case class HashId(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      graft.core.Murmur3.hashString(v.asInstanceOf[UTF8String].toString, cfg.seed + 6000L)
+    override protected def withNewChildInternal(c: Expression): HashId = copy(c)
+    override def prettyName: String = "graft_hash_id"
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** lang_id(text): stopword-scored language guess (SQL-replicable). */
+  case class LangId(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(TextFeatures.languageId(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): LangId = copy(c)
+    override def prettyName: String = "graft_lang_id"
+  }
+
+  /** quality_score(text): [0,1] heuristic training-data quality. */
+  case class QualityScore(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      TextFeatures.qualityScore(v.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression): QualityScore = copy(c)
+    override def prettyName: String = "graft_quality_score"
+  }
+
+  /** doc_fingerprint(text): 64-bit content fingerprint of normalized text. */
+  case class DocFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextFeatures.docFingerprint(v.asInstanceOf[UTF8String].toString, cfg.seed)
+    override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(c)
+    override def prettyName: String = "graft_doc_fingerprint"
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def minhash_sig(c: Column): Column = col(MinHashSig(ex(c)))
+  def lsh_band_keys(c: Column): Column = col(LshBandKeys(ex(c)))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def simhash_block_keys(c: Column): Column = col(SimHashBlockKeys(ex(c)))
+  def winnow_fps(c: Column): Column = col(WinnowFps(ex(c)))
+  def jaccard_shingles(a: Column, b: Column): Column = col(JaccardShingles(ex(a), ex(b)))
+  def is_dup_pair(a: Column, b: Column, sa: Column, sb: Column): Column =
+    col(IsDupPair(ex(a), ex(b), ex(sa), ex(sb)))
+  def hash_id(c: Column): Column = col(HashId(ex(c)))
+  def lang_id(c: Column): Column = col(LangId(ex(c)))
+  def quality_score(c: Column): Column = col(QualityScore(ex(c)))
+  def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
+
+  // --------------------------------------------------------- SQL registry
+
+  /** Register all graft functions for SQL use in this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    one("graft_normalize_text", es => NormalizeText(es.head))
+    one("graft_minhash_sig", es => MinHashSig(es.head))
+    one("graft_lsh_band_keys", es => LshBandKeys(es.head))
+    one("graft_simhash64", es => SimHash64(es.head))
+    one("graft_simhash_block_keys", es => SimHashBlockKeys(es.head))
+    one("graft_winnow_fps", es => WinnowFps(es.head))
+    one("graft_jaccard_shingles", es => JaccardShingles(es(0), es(1)))
+    one("graft_is_dup_pair", es => IsDupPair(es(0), es(1), es(2), es(3)))
+    one("graft_hash_id", es => HashId(es.head))
+    one("graft_lang_id", es => LangId(es.head))
+    one("graft_quality_score", es => QualityScore(es.head))
+    one("graft_doc_fingerprint", es => DocFingerprint(es.head))
+  }
+}
