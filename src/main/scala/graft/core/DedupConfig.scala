@@ -26,6 +26,11 @@ final case class DedupConfig(
     minContainLen: Int = 100,
     /** winnowing window (shingles) for the substring candidate lane */
     winnowWindow: Int = 32,
+    /** winnowing shingle length (chars) — larger than shingleK so a bucket
+      * collision implies a shared 16-char run, not a common 5-gram; the
+      * winnowing guarantee covers shared substrings >= winnowWindow +
+      * winnowK - 1 = 47 chars < minContainLen */
+    winnowK: Int = 16,
     /** master seed for all hash families */
     seed: Long = 42L,
     /** cap on LSH bucket size before salted overflow handling (skew guard) */

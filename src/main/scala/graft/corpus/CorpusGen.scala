@@ -80,8 +80,9 @@ object CorpusGen {
       cluster += 1
     }
     while (i < n) {
-      // zipf-ish size in [1, 40]: most clusters are singletons
-      val size = 1 + rng.nextZipf(40, 1.1)
+      // ~90% singleton clusters; dup clusters zipf-sized in [2, 40] — yields
+      // ~40% duplicate rows overall, web-dedup-realistic
+      val size = if (rng.nextDouble() < 0.9) 1 else 2 + rng.nextZipf(38, 1.1)
       var m = 0
       while (m < size && i < n) { clusterOf(i) = cluster; memberIdxOf(i) = m; m += 1; i += 1 }
       cluster += 1

@@ -30,9 +30,13 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // symmetrize once: messages must flow both ways
+    // symmetrize once (messages must flow both ways) and add self-loops so
+    // each vertex's own label rides the same join — no per-iteration union
+    val vertices = edges.select($"a".as("src")).union(edges.select($"b".as("src")))
+      .distinct()
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .union(edges.select($"b".as("src"), $"a".as("dst")))
+      .union(vertices.select($"src", $"src".as("dst")))
       .localCheckpoint(true)
 
     var labels = sym.select($"src".as("id")).distinct()
@@ -42,11 +46,11 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // propagate: every vertex offers its label to each neighbor
+      // propagate: every vertex offers its label to each neighbor (and to
+      // itself via the self-loop)
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), labels("label"))
-      val minLabels = msgs.union(labels.select($"id", $"label"))
-        .groupBy($"id").agg(min($"label").as("label"))
+      val minLabels = msgs.groupBy($"id").agg(min($"label").as("label"))
       // pointer jumping: label := label's label (halves remaining diameter)
       val l2 = minLabels.select($"id".as("lid"), $"label".as("llabel"))
       val jumped = minLabels.as("x")

@@ -167,7 +167,7 @@ object TextFeatures {
     * least one shared fingerprint — the candidate generator for the
     * substring-containment lane. */
   def winnowFingerprints(normalized: String, cfg: DedupConfig): Array[Long] = {
-    val seq = shingleSeq(normalized, cfg.shingleK, cfg.seed)
+    val seq = shingleSeq(normalized, cfg.winnowK, cfg.seed + 7000L)
     if (seq.isEmpty) return Array.empty
     val w = cfg.winnowWindow
     if (seq.length <= w) {
