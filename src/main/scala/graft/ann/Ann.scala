@@ -1,0 +1,64 @@
+package graft.ann
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k via broadcast cross join —
+  *    the correctness baseline; right for small query sets (the query side
+  *    is broadcast, the base table streams through one scan, no shuffle of
+  *    the base).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing (multi-table): candidates
+  *    only within matching buckets — the 100 TB path: the cross join never
+  *    materializes, cost ~ bucket collision mass. Recall tunable via
+  *    (planesPerTable, tables).
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query vector (excluding self-matches by
+    * id). Output: (vec_id, neighbor_id, sim_r3, rank). sim is rounded to 3
+    * decimals and ties broken by neighbor_id so results are reproducible
+    * across engines and float orders. */
+  def bruteForceTopK(queries: DataFrame, base: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id"), col("embedding").as("q_emb"))
+    val b = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_r3").desc, col("neighbor_id").asc)
+    b.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim_r3", round(cosine_sim(col("q_emb"), col("b_emb")), 3))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("sim_r3"), col("rank"))
+  }
+
+  /** LSH-bucketed top-k: `tables` independent hyperplane signatures; vectors
+    * sharing any table's bucket are candidates. */
+  def lshTopK(vectors: DataFrame, k: Int, planesPerTable: Int = 12,
+              tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    val sigs = (0 until tables).map { t =>
+      vectors.select(
+        col("vec_id"), col("embedding"),
+        lit(t).as("table"),
+        hyperplane_sig(col("embedding"), planesPerTable, seed + t).as("bucket"))
+    }.reduce(_ union _)
+    val a = sigs.select(col("table"), col("bucket"), col("vec_id"), col("embedding").as("a_emb"))
+    val b = sigs.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("b_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_r3").desc, col("neighbor_id").asc)
+    a.join(b, Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("a_emb"), col("b_emb"))
+      .distinct()
+      .withColumn("sim_r3", round(cosine_sim(col("a_emb"), col("b_emb")), 3))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("sim_r3"), col("rank"))
+  }
+}

@@ -172,6 +172,60 @@ object GraftFunctions {
     override def prettyName: String = "graft_doc_fingerprint"
   }
 
+  // ----------------------------------------------------------- embeddings
+
+  /** cosine_sim(a, b): cosine similarity of two float vectors, accumulated
+    * in double. 0.0 when either norm is 0. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData].toFloatArray()
+      val vb = b.asInstanceOf[ArrayData].toFloatArray()
+      val n = math.min(va.length, vb.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = va(i).toDouble; val y = vb(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(l, r)
+    override def prettyName: String = "graft_cosine_sim"
+  }
+
+  /** hyperplane_sig(vec, nPlanes, seed): random-hyperplane LSH signature of
+    * a float vector — bit i = sign(vec · plane_i). Planes are deterministic
+    * from (seed, plane, coord); the embedding-space analogue of SimHash
+    * (same multi-hash trick as CountMin.java:118-121). */
+  case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      var sig = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var i = 0
+        while (i < vec.length) {
+          // deterministic pseudo-uniform plane coord in [-1, 1)
+          val h = graft.core.Murmur3.hashLong(i.toLong, seed + 8000L + p)
+          dot += vec(i) * ((h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0)
+          i += 1
+        }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(c)
+    override def prettyName: String = "graft_hyperplane_sig"
+  }
+
   // ------------------------------------------------------------ Column API
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -187,6 +241,9 @@ object GraftFunctions {
   def is_dup_pair(a: Column, b: Column, sa: Column, sb: Column): Column =
     col(IsDupPair(ex(a), ex(b), ex(sa), ex(sb)))
   def hash_id(c: Column): Column = col(HashId(ex(c)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def hyperplane_sig(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
+    col(HyperplaneSig(ex(c), nPlanes, seed))
   def lang_id(c: Column): Column = col(LangId(ex(c)))
   def quality_score(c: Column): Column = col(QualityScore(ex(c)))
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))
