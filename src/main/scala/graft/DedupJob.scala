@@ -2,16 +2,17 @@ package graft
 
 import graft.core.DedupConfig
 import graft.corpus.CorpusGen
-import graft.dedup.DedupPipeline
+import graft.dedup.{CheckpointedDedup, DedupPipeline}
 import org.apache.spark.sql.SparkSession
 
 /** spark-submit entrypoint for the dedup pipeline (BASELINE.json north_rule:
   * "run via spark-submit on a multi-executor cluster"). In the sandbox it
   * runs in local[N]; on a cluster, drop the master override and submit.
   *
-  * Usage: DedupJob <nClips> <outDir> [cores]
+  * Usage: DedupJob <nClips> <outDir> [cores] [checkpointDir]
   *   - generates the deterministic corpus at nClips (FIXTURES.md),
-  *   - runs the full near-dup pipeline,
+  *   - runs the full near-dup pipeline — snapshot-checkpointed + resumable
+  *     when a checkpointDir is given (kill it mid-run; rerun resumes),
   *   - writes cluster assignments to <outDir>/assignments (parquet),
   *   - prints one JSON metrics line: rows, clusters, dup rows, elapsed sec,
   *     clips/sec throughput.
@@ -36,7 +37,10 @@ object DedupJob {
 
     val t0 = System.nanoTime()
     val clips = CorpusGen.clips(spark, n).toDF()
-    val assign = DedupPipeline.run(clips, DedupConfig.default)
+    val assign = args.lift(3) match {
+      case Some(ckpt) => CheckpointedDedup.run(clips, ckpt, DedupConfig.default).get
+      case None => DedupPipeline.run(clips, DedupConfig.default)
+    }
     assign.write.mode("overwrite").parquet(s"$outDir/assignments")
 
     val rows = spark.read.parquet(s"$outDir/assignments")

@@ -23,48 +23,57 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Symmetrized edge list with self-loops — each vertex's own label rides
+    * the same propagation join (no per-iteration union). */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val vertices = edges.select($"a".as("src")).union(edges.select($"b".as("src")))
+      .distinct()
+    edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+      .union(vertices.select($"src", $"src".as("dst")))
+  }
+
+  /** Initial labels: every vertex labels itself. */
+  def initLabels(sym: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    sym.select($"src".as("id")).distinct().withColumn("label", $"id")
+  }
+
+  /** One propagation round: neighbor-min label, then one pointer jump
+    * (label := label's label), halving the remaining diameter. */
+  def step(sym: DataFrame, labels: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    val msgs = sym.join(labels, sym("src") === labels("id"))
+      .select(sym("dst").as("id"), labels("label"))
+    val minLabels = msgs.groupBy($"id").agg(min($"label").as("label"))
+    val l2 = minLabels.select($"id".as("lid"), $"label".as("llabel"))
+    minLabels.as("x")
+      .join(l2.as("y"), col("x.label") === col("y.lid"), "left")
+      .select(col("x.id").as("id"),
+        least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
+  }
+
+  /** Count of vertices whose label changed between rounds (exact convergence
+    * signal; both inputs expected checkpointed). */
+  def changedCount(oldLabels: DataFrame, newLabels: DataFrame): Long =
+    newLabels.as("n")
+      .join(oldLabels.as("o"), col("n.id") === col("o.id"))
+      .where(col("n.label") =!= col("o.label"))
+      .count()
+
   /** @param edges DataFrame with long columns (a, b) — undirected unique pairs.
     * @return DataFrame (id: Long, label: Long) — label = min id in component.
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-
-    // symmetrize once (messages must flow both ways) and add self-loops so
-    // each vertex's own label rides the same join — no per-iteration union
-    val vertices = edges.select($"a".as("src")).union(edges.select($"b".as("src")))
-      .distinct()
-    val sym = edges.select($"a".as("src"), $"b".as("dst"))
-      .union(edges.select($"b".as("src"), $"a".as("dst")))
-      .union(vertices.select($"src", $"src".as("dst")))
-      .localCheckpoint(true)
-
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("label", $"id")
-      .localCheckpoint(true)
-
+    val sym = symmetrize(edges).localCheckpoint(true)
+    var labels = initLabels(sym).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // propagate: every vertex offers its label to each neighbor (and to
-      // itself via the self-loop)
-      val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), labels("label"))
-      val minLabels = msgs.groupBy($"id").agg(min($"label").as("label"))
-      // pointer jumping: label := label's label (halves remaining diameter)
-      val l2 = minLabels.select($"id".as("lid"), $"label".as("llabel"))
-      val jumped = minLabels.as("x")
-        .join(l2.as("y"), col("x.label") === col("y.lid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
-
-      val changed = jumped.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
+      val jumped = step(sym, labels).localCheckpoint(true)
+      converged = changedCount(labels, jumped) == 0
       labels = jumped
-      converged = changed == 0
       iter += 1
     }
     labels

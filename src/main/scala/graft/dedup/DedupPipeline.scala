@@ -55,18 +55,62 @@ object DedupPipeline {
     lsh.union(sim).union(fps).distinct()
   }
 
-  /** Exact verification of candidate pairs with the oracle-shared predicate. */
+  /** Exact verification of candidate pairs with the oracle-shared predicate,
+    * in two passes:
+    *  1. the expression pass (Hamming + exact Jaccard — cheap, codegen'd
+    *     stage, no state);
+    *  2. the substring-containment pass over the remainder: grouped by the
+    *     container document and checked against a per-container suffix
+    *     array built once per group ([[SuffixArray]]) — the "per-partition
+    *     suffix-array pass" of the north rule. Identical semantics to
+    *     `longer.contains(shorter)`, exactness preserved.
+    */
   def verifiedEdges(features: DataFrame, cands: DataFrame,
                     cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val fa = features.select(col("id").as("a"), col("norm").as("norm_a"),
       col("simhash").as("sim_a"))
     val fb = features.select(col("id").as("b"), col("norm").as("norm_b"),
       col("simhash").as("sim_b"))
-    cands
+    val joined = cands
       .join(fa, "a")
       .join(fb, "b")
-      .where(is_dup_pair(col("norm_a"), col("norm_b"), col("sim_a"), col("sim_b")))
-      .select(col("a"), col("b"))
+      .withColumn("fast", is_dup_fast(col("norm_a"), col("norm_b"), col("sim_a"), col("sim_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fastEdges = joined.where(col("fast")).select(col("a"), col("b"))
+    val slow = joined.where(!col("fast") &&
+      least(length(col("norm_a")), length(col("norm_b"))) >= cfg.minContainLen)
+    fastEdges.union(containmentEdges(slow, cfg)).distinct()
+  }
+
+  /** The grouped suffix-array containment pass. Input rows carry
+    * (a, b, norm_a, norm_b); pairs are oriented container→contained, grouped
+    * by container id, and each group's candidates are searched in one
+    * suffix array of the container text (built lazily — groups with a
+    * single candidate use the direct scan, same result). */
+  def containmentEdges(slowCands: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = slowCands.sparkSession
+    import spark.implicits._
+    val oriented = slowCands.select(
+      when(length(col("norm_a")) >= length(col("norm_b")), col("a")).otherwise(col("b")).as("container"),
+      when(length(col("norm_a")) >= length(col("norm_b")), col("b")).otherwise(col("a")).as("contained"),
+      when(length(col("norm_a")) >= length(col("norm_b")), col("norm_a")).otherwise(col("norm_b")).as("container_norm"),
+      when(length(col("norm_a")) >= length(col("norm_b")), col("norm_b")).otherwise(col("norm_a")).as("contained_norm"))
+      .as[(Long, Long, String, String)]
+    oriented
+      .groupByKey(_._1)
+      .flatMapGroups { (containerId, rows) =>
+        val buf = rows.toArray
+        val containerNorm = buf.head._3
+        val sa = if (buf.length >= 4) SuffixArray.build(containerNorm) else null
+        buf.iterator
+          .filter { case (_, _, _, contained) =>
+            if (sa != null) sa.contains(contained) else containerNorm.contains(contained)
+          }
+          .map { case (_, contained, _, _) =>
+            if (containerId < contained) (containerId, contained) else (contained, containerId)
+          }
+      }
+      .toDF("a", "b")
   }
 
   /** Full run: returns (clip_id, id, cluster, rep_clip_id, is_rep). `cluster`

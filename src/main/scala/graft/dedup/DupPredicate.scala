@@ -34,6 +34,18 @@ object DupPredicate {
     TextFeatures.jaccardSorted(sa, sb) >= cfg.jaccardThreshold
   }
 
+  /** Clauses 1+2 only (Hamming, Jaccard) — the expression-friendly part of
+    * the predicate; clause 3 (containment) runs in the grouped suffix-array
+    * pass ([[DedupPipeline.containmentEdges]]). isDup ≡ isDupFast ∨
+    * containment, by construction. */
+  def isDupFast(normA: String, normB: String, simA: Long, simB: Long,
+                cfg: DedupConfig): Boolean = {
+    if (TextFeatures.hammingDistance(simA, simB) <= cfg.hammingMax) return true
+    val sa = TextFeatures.shingleSet(normA, cfg.shingleK, cfg.seed)
+    val sb = TextFeatures.shingleSet(normB, cfg.shingleK, cfg.seed)
+    TextFeatures.jaccardSorted(sa, sb) >= cfg.jaccardThreshold
+  }
+
   /** Clause 3 alone: shorter-in-longer verbatim, min length respected. */
   def containment(normA: String, normB: String, cfg: DedupConfig): Boolean = {
     val (short, long) = if (normA.length <= normB.length) (normA, normB) else (normB, normA)

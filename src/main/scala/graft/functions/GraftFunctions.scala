@@ -126,6 +126,22 @@ object GraftFunctions {
     override def prettyName: String = "graft_is_dup_pair"
   }
 
+  /** is_dup_fast(normA, normB, simA, simB): Hamming + Jaccard clauses only
+    * (the containment clause runs in the suffix-array pass). */
+  case class IsDupFast(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any, sa: Any, sb: Any): Any =
+      graft.dedup.DupPredicate.isDupFast(
+        a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString,
+        sa.asInstanceOf[Long], sb.asInstanceOf[Long], cfg)
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): IsDupFast =
+      copy(a, b, c, d)
+    override def prettyName: String = "graft_is_dup_fast"
+  }
+
   /** hash_id(s): stable 64-bit id of a string key (raw, no normalization).
     * At 10^12-row scale a 64-bit id has non-trivial birthday collision mass;
     * production would widen to 128-bit (two columns) — the hash itself
@@ -240,6 +256,8 @@ object GraftFunctions {
   def jaccard_shingles(a: Column, b: Column): Column = col(JaccardShingles(ex(a), ex(b)))
   def is_dup_pair(a: Column, b: Column, sa: Column, sb: Column): Column =
     col(IsDupPair(ex(a), ex(b), ex(sa), ex(sb)))
+  def is_dup_fast(a: Column, b: Column, sa: Column, sb: Column): Column =
+    col(IsDupFast(ex(a), ex(b), ex(sa), ex(sb)))
   def hash_id(c: Column): Column = col(HashId(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def hyperplane_sig(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
