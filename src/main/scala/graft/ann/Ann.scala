@@ -38,8 +38,8 @@ object Ann {
 
   /** LSH-bucketed top-k: `tables` independent hyperplane signatures; vectors
     * sharing any table's bucket are candidates. */
-  def lshTopK(vectors: DataFrame, k: Int, planesPerTable: Int = 12,
-              tables: Int = 4, seed: Long = 42L): DataFrame = {
+  def lshTopK(vectors: DataFrame, k: Int, planesPerTable: Int = 8,
+              tables: Int = 8, seed: Long = 42L): DataFrame = {
     val spark = vectors.sparkSession
     val sigs = (0 until tables).map { t =>
       vectors.select(

@@ -24,18 +24,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupPipeline {
 
-  /** Per-clip signature table: (clip_id, id, norm, simhash, bands, blocks, fps). */
+  /** Per-clip signature table: (clip_id, id, norm, simhash, bands, blocks,
+    * fps) — one fused expression pass over the transcript (one normalize,
+    * one shingle walk per family). Only clip_id/transcript are selected, so
+    * Catalyst prunes the audio `bytes` column out of the scan. */
   def features(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val norm = normalize_text(col("transcript"))
     clips
-      .select(col("clip_id"), norm.as("norm"))
+      .select(col("clip_id"), text_signatures(col("transcript")).as("sig"))
       .select(
         col("clip_id"),
         hash_id(col("clip_id")).as("id"),
-        col("norm"),
-        simhash64(col("norm")).as("simhash"),
-        lsh_band_keys(col("norm")).as("bands"),
-        winnow_fps(col("norm")).as("fps"))
+        col("sig.norm").as("norm"),
+        col("sig.simhash").as("simhash"),
+        col("sig.bands").as("bands"),
+        col("sig.fps").as("fps"))
       .withColumn("blocks", simhash_block_keys(col("simhash")))
   }
 

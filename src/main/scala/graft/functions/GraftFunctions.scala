@@ -96,6 +96,27 @@ object GraftFunctions {
     override def prettyName: String = "graft_winnow_fps"
   }
 
+  /** text_signatures(raw): fused per-document signature tuple — ONE
+    * normalize + one shingle pass per family feeding all three candidate
+    * lanes: struct(norm, simhash, bands, fps). The features stage projects
+    * this once instead of evaluating four expressions that each re-normalize. */
+  case class TextSignatures(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("norm", StringType, nullable = false),
+      StructField("simhash", LongType, nullable = false),
+      StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("fps", ArrayType(LongType, containsNull = false), nullable = false)))
+    override def nullSafeEval(v: Any): Any = {
+      val (norm, sim, bands, fps) =
+        TextFeatures.signatures(v.asInstanceOf[UTF8String].toString, cfg)
+      InternalRow(UTF8String.fromString(norm), sim,
+        new GenericArrayData(bands), new GenericArrayData(fps))
+    }
+    override protected def withNewChildInternal(c: Expression): TextSignatures = copy(c)
+    override def prettyName: String = "graft_text_signatures"
+  }
+
   /** jaccard_shingles(normA, normB): exact char-k-gram-set Jaccard. */
   case class JaccardShingles(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -188,6 +209,68 @@ object GraftFunctions {
     override def prettyName: String = "graft_doc_fingerprint"
   }
 
+  // ---------------------------------------------------------------- audio
+
+  /** pcm_decode(bytes, codec): decode an opaque audio binary column to PCM
+    * samples (array<int>, 16-bit range). Real G.711/PCM decoders — the
+    * multimodal "decode" stage as a first-class engine expression over
+    * BinaryType (SURVEY.md §2.2 P2). */
+  case class PcmDecode(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(bytes: Any, codec: Any): Any = {
+      val pcm = graft.audio.AudioCodec.decode(
+        bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String].toString)
+      val out = new Array[Int](pcm.length)
+      var i = 0
+      while (i < pcm.length) { out(i) = pcm(i).toInt; i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PcmDecode =
+      copy(l, r)
+    override def prettyName: String = "graft_pcm_decode"
+  }
+
+  /** audio_rms(bytes, codec): RMS amplitude of the decoded signal — a cheap
+    * audio feature/quality scalar (silence detection, gain outliers). */
+  case class AudioRms(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(bytes: Any, codec: Any): Any = {
+      val pcm = graft.audio.AudioCodec.decode(
+        bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String].toString)
+      if (pcm.isEmpty) 0.0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < pcm.length) { val v = pcm(i).toDouble; acc += v * v; i += 1 }
+        math.sqrt(acc / pcm.length)
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AudioRms =
+      copy(l, r)
+    override def prettyName: String = "graft_audio_rms"
+  }
+
+  /** audio_snr_db(bytesA, codecA, bytesB, codecB): SNR of B's decoded PCM
+    * against A's over the common prefix — the per-row invariant metric. */
+  case class AudioSnrDb(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(ba: Any, ca: Any, bb: Any, cb: Any): Any = {
+      val ref = graft.audio.AudioCodec.decode(
+        ba.asInstanceOf[Array[Byte]], ca.asInstanceOf[UTF8String].toString)
+      val test = graft.audio.AudioCodec.decode(
+        bb.asInstanceOf[Array[Byte]], cb.asInstanceOf[UTF8String].toString)
+      graft.audio.AudioCodec.snrDb(ref, test)
+    }
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): AudioSnrDb =
+      copy(a, b, c, d)
+    override def prettyName: String = "graft_audio_snr_db"
+  }
+
   // ----------------------------------------------------------- embeddings
 
   /** cosine_sim(a, b): cosine similarity of two float vectors, accumulated
@@ -248,6 +331,7 @@ object GraftFunctions {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def text_signatures(c: Column): Column = col(TextSignatures(ex(c)))
   def minhash_sig(c: Column): Column = col(MinHashSig(ex(c)))
   def lsh_band_keys(c: Column): Column = col(LshBandKeys(ex(c)))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
@@ -260,6 +344,10 @@ object GraftFunctions {
     col(IsDupFast(ex(a), ex(b), ex(sa), ex(sb)))
   def hash_id(c: Column): Column = col(HashId(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def pcm_decode(bytes: Column, codec: Column): Column = col(PcmDecode(ex(bytes), ex(codec)))
+  def audio_rms(bytes: Column, codec: Column): Column = col(AudioRms(ex(bytes), ex(codec)))
+  def audio_snr_db(ba: Column, ca: Column, bb: Column, cb: Column): Column =
+    col(AudioSnrDb(ex(ba), ex(ca), ex(bb), ex(cb)))
   def hyperplane_sig(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneSig(ex(c), nPlanes, seed))
   def lang_id(c: Column): Column = col(LangId(ex(c)))

@@ -71,23 +71,43 @@ object TextFeatures {
     out
   }
 
-  /** MinHash signature: for each of numHashes seeded permutations g_i,
-    * min over the shingle set of g_i(shingle). Empty set → all Long.MaxValue
-    * (never collides with a real signature in practice). */
+  /** MinHash signature: min over the shingle set of K pseudo-independent
+    * permutations. The permutation bank uses the Kirsch-Mitzenmacher
+    * two-hash scheme g_i(x) = h1(x) + i·h2(x) (public result; standard for
+    * Bloom/MinHash banks) — 2 full avalanches + K adds per shingle instead
+    * of K avalanches, the dominant cost of the whole features stage.
+    * Empty set → all Long.MaxValue. */
   def minhashSignature(shingles: Array[Long], cfg: DedupConfig): Array[Long] = {
     val sig = Array.fill(cfg.numHashes)(Long.MaxValue)
+    val k = cfg.numHashes
     var s = 0
     while (s < shingles.length) {
       val h = shingles(s)
+      val h1 = Murmur3.hashLong(h, cfg.seed + 1001L)
+      val h2 = Murmur3.hashLong(h, cfg.seed + 1002L) | 1L
+      var g = h1
       var i = 0
-      while (i < cfg.numHashes) {
-        val v = Murmur3.hashLong(h, cfg.seed + 1000L + i)
-        if (v < sig(i)) sig(i) = v
+      while (i < k) {
+        if (g < sig(i)) sig(i) = g
+        g += h2
         i += 1
       }
       s += 1
     }
     sig
+  }
+
+  /** All per-document signatures in one pass over the raw text: normalize
+    * once, shingle once per shingle family. Returns (norm, simhash,
+    * bandKeys, winnowFps) — the fused feature tuple the pipeline projects. */
+  def signatures(raw: String, cfg: DedupConfig): (String, Long, Array[Long], Array[Long]) = {
+    val norm = normalize(raw)
+    val sh = shingleSet(norm, cfg.shingleK, cfg.seed)
+    val sig = minhashSignature(sh, cfg)
+    val bands = bandHashes(sig, cfg)
+    val sim = simhash64(norm, cfg.seed)
+    val fps = winnowFingerprints(norm, cfg)
+    (norm, sim, bands, fps)
   }
 
   /** LSH band hashes: signature split into `bands` groups of `rowsPerBand`,
