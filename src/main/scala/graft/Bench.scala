@@ -26,6 +26,8 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -38,20 +40,68 @@ object Bench {
     assign.select(sum(crc32(concat_ws(",", col("clip_id"), col("rep_clip_id")))).as("c"))
       .collect()(0).getLong(0)
 
+  /** Run one timed dedup in a FRESH child JVM (same classpath): back-to-back
+    * SparkContexts in one JVM contaminate each other (GC state, leftover
+    * pools), which corrupted same-JVM scaling measurements. */
   private def timedDedup(cores: Int, corpusPath: String): (Double, Long) = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    // fixed heap + ParallelGC: G1 with a growing 40g heap spent minutes of
+    // kernel time in page management at 32 threads (measured)
+    val cmd = Seq(java, "-Xms16g", "-Xmx16g", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "child", cores.toString, corpusPath)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    val line = out.linesIterator.find(_.startsWith("CHILD_RESULT ")).getOrElse(
+      throw new IllegalStateException(s"child failed:\n${out.takeRight(2000)}"))
+    val Array(_, sec, sum) = line.split(" ")
+    (sec.toDouble, sum.toLong)
+  }
+
+  /** Child-mode entry: one warmup iteration (JIT + page cache; discarded),
+    * then two measured runs — the MIN is reported: this host shows heavy
+    * hypervisor CPU steal (historically more steal than user ticks), and
+    * min-of-k under external interference estimates machine capability.
+    * Prints CHILD_RESULT <sec> <checksum>. */
+  private def childMain(cores: Int, corpusPath: String): Unit = {
     val spark = session(cores)
+    if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+      // standalone child invocation: generate the corpus (path ends in _<n>)
+      val n = corpusPath.split("_").last.toInt
+      CorpusGen.clips(spark, n).write.mode("overwrite").parquet(corpusPath)
+    }
     val clips = spark.read.parquet(corpusPath)
-    val t0 = System.nanoTime()
-    val assign = DedupPipeline.run(clips, DedupConfig.default)
-    val checksum = assignmentChecksum(assign)
-    val sec = (System.nanoTime() - t0) / 1e9
+    def once(): (Double, Long) = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val checksum = assignmentChecksum(DedupPipeline.run(clips, DedupConfig.default))
+      ((System.nanoTime() - t0) / 1e9, checksum)
+    }
+    once() // warmup
+    System.gc()
+    val (s1, c1) = once()
+    System.gc()
+    val (s2, c2) = once()
+    require(c1 == c2, s"non-deterministic repeat: $c1 vs $c2")
+    println(s"CHILD_RESULT ${math.min(s1, s2)} $c1")
     spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    (sec, checksum)
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "child") {
+      childMain(args(1).toInt, args(2))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val dedupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "40000").toInt

@@ -28,6 +28,8 @@ object DedupJob {
       .appName(s"graft-dedup-n$n")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // local master only when not already provided by spark-submit

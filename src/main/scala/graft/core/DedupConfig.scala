@@ -34,10 +34,16 @@ final case class DedupConfig(
     /** master seed for all hash families */
     seed: Long = 42L,
     /** cap on LSH bucket size before salted overflow handling (skew guard) */
-    maxBucketSize: Int = 64
+    maxBucketSize: Int = 64,
+    /** hot-bucket detection: exact per-key counts (default — deterministic
+      * under any partitioning, map-side-combined shuffle of distinct keys)
+      * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,
+      * but partition-dependent near the threshold). */
+    sketchHotKeys: Boolean = false
 ) {
   require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
   require(64 % simhashBlocks == 0, "simhashBlocks must divide 64")
+  require(simhashBlocks > hammingMax, "pigeonhole needs blocks > hammingMax")
 }
 
 object DedupConfig {

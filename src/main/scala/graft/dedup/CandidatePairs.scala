@@ -30,11 +30,14 @@ object CandidatePairs {
   /** Salt-group count bounds for hot keys. */
   final val MaxSalts = 1024
 
-  final case class Bucket(key: Long, id: Long)
+  final case class Bucket(key: Long, id: Long, lane: Int)
 
   /** Detect bucket keys with (estimated) multiplicity >= threshold using a
-    * distributed-merged FreqSketch. Returns key -> upper-bound estimate. */
-  def hotKeys(buckets: Dataset[Bucket], threshold: Long, sketchK: Int = 4096): Map[Long, Long] = {
+    * distributed-merged FreqSketch — one tiny partial sketch per partition,
+    * O(k) driver bytes, no per-key shuffle. The 10^12-row path; estimates
+    * near the threshold depend on partitioning (merge error), so the
+    * default pipeline uses [[hotKeysExact]] for bit-determinism. */
+  def hotKeysSketch(buckets: Dataset[Bucket], threshold: Long, sketchK: Int = 4096): Map[Long, Long] = {
     import buckets.sparkSession.implicits._
     val partials: Array[Array[Byte]] = buckets.select($"key").as[Long]
       .mapPartitions { it =>
@@ -47,6 +50,21 @@ object CandidatePairs {
     }
     merged.frequentKeys(threshold).map { case (key, _, _, ub) => key -> ub }.toMap
   }
+
+  /** Exact hot keys: map-side-combined count per key, filtered to the hot
+    * tail before collect (the collected set is small by definition —
+    * there are at most totalRows/threshold hot keys). */
+  def hotKeysExact(buckets: Dataset[Bucket], threshold: Long): Map[Long, Long] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupBy($"key").count()
+      .where($"count" >= threshold)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  def hotKeys(buckets: Dataset[Bucket], threshold: Long,
+              cfg: DedupConfig): Map[Long, Long] =
+    if (cfg.sketchHotKeys) hotKeysSketch(buckets, threshold)
+    else hotKeysExact(buckets, threshold)
 
   /** Expand sorted in-bucket ids to pairs: all-pairs when |ids| <= cap,
     * else sliding window of `Window` (bounded degree). */
@@ -67,13 +85,17 @@ object CandidatePairs {
     }
   }
 
-  /** Full skew-aware pair generation. */
+  /** Full skew-aware pair generation. Output (a, b, lane): unordered unique
+    * pairs with the OR of the lane bits that produced them — verification
+    * then evaluates only the predicate clause(s) whose lane emitted a pair
+    * (a jaccard check is pointless for a pair only the SimHash-block lane
+    * produced, and vice versa). */
   def pairs(buckets: Dataset[Bucket], cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucketSize
 
-    val hot = hotKeys(buckets, cap.toLong)
+    val hot = hotKeys(buckets, cap.toLong, cfg)
     val saltsFor: Map[Long, Int] = hot.map { case (k, ub) =>
       k -> math.max(2, math.min(MaxSalts, (ub / cap).toInt + 1))
     }
@@ -86,31 +108,40 @@ object CandidatePairs {
 
     val grouped = buckets
       .withColumn("salt", saltOf($"key", $"id"))
-      .groupBy($"key", $"salt")
+      .groupBy($"key", $"salt", $"lane")
       .agg(collect_list($"id").as("ids"))
-      .select($"key", $"salt", $"ids".as[Array[Long]])
-      .as[(Long, Int, Array[Long])]
+      .select($"key", $"salt", $"lane", $"ids".as[Array[Long]])
+      .as[(Long, Int, Int, Array[Long])]
 
-    // pairs within each (key, salt) group
-    val within = grouped.flatMap { case (_, _, ids) => expand(ids, cap) }
-      .toDF("a", "b")
+    // pairs within each (key, salt) group, tagged with the lane bit
+    val within = grouped.flatMap { case (_, _, lane, ids) =>
+      expand(ids, cap).map { case (a, b) => (a, b, lane) }
+    }.toDF("a", "b", "lane")
 
     // chain stitching across salt groups of the same hot key
     val chains = grouped
       .filter($"salt" > 0 || udf((k: Long) => bcSalts.value.contains(k)).apply($"key"))
-      .map { case (key, salt, ids) => (key, salt, ids.min) }
-      .toDF("key", "salt", "minId")
-      .groupBy($"key").agg(sort_array(collect_list(struct($"salt", $"minId"))).as("reps"))
-      .select($"reps.minId".as[Array[Long]])
-      .flatMap { reps =>
+      .map { case (key, salt, lane, ids) => (key, salt, lane, ids.min) }
+      .toDF("key", "salt", "lane", "minId")
+      .groupBy($"key", $"lane")
+      .agg(sort_array(collect_list(struct($"salt", $"minId"))).as("reps"))
+      .select($"lane", $"reps.minId".as[Array[Long]])
+      .as[(Int, Array[Long])]
+      .flatMap { case (lane, reps) =>
         if (reps.length < 2) Iterator.empty
         else Iterator.range(0, reps.length - 1).map { i =>
           val x = reps(i); val y = reps(i + 1)
-          if (x < y) (x, y) else (y, x)
+          (math.min(x, y), math.max(x, y), lane)
         }
       }
-      .toDF("a", "b")
+      .toDF("a", "b", "lane")
 
-    within.union(chains).where($"a" =!= $"b").distinct()
+    // lane = OR of producing lanes; fps_hits = number of winnowing buckets
+    // that independently produced the pair (containment evidence strength:
+    // a true >=minContainLen containment shares >=2 winnow fingerprints)
+    within.union(chains).where($"a" =!= $"b")
+      .groupBy($"a", $"b")
+      .agg(bit_or($"lane").as("lane"),
+        sum(when($"lane" === 4, 1).otherwise(0)).as("fps_hits"))
   }
 }

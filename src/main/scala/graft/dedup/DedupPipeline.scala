@@ -37,51 +37,89 @@ object DedupPipeline {
         col("sig.norm").as("norm"),
         col("sig.simhash").as("simhash"),
         col("sig.bands").as("bands"),
-        col("sig.fps").as("fps"))
+        col("sig.fps").as("fps"),
+        col("sig.nsh").as("nsh"),
+        length(col("sig.norm")).as("nlen"))
       .withColumn("blocks", simhash_block_keys(col("simhash")))
   }
 
-  private def lane(features: DataFrame, arrayCol: String, cfg: DedupConfig): DataFrame = {
+  /** Lane bits carried on candidate pairs. */
+  final val LaneBands = 1
+  final val LaneBlocks = 2
+  final val LaneFps = 4
+
+  /** Union of the three candidate lanes through ONE skew-aware pair-gen
+    * pass: bucket keys are lane-salted (xor with a per-lane constant keeps
+    * the keyspaces disjoint up to a negligible 64-bit coincidence), so hot
+    * key detection, salting, grouping, and dedup each run once instead of
+    * three times — 1 sketch job + 1 shuffle instead of 3+3. */
+  def candidates(features: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
     import features.sparkSession.implicits._
-    val buckets = features
-      .select(explode(col(arrayCol)).as("key"), col("id"))
-      .as[CandidatePairs.Bucket]
+    val lanes = Seq(("bands", 0x9e3779b97f4a7c15L, LaneBands),
+      ("blocks", 0xc2b2ae3d27d4eb4fL, LaneBlocks),
+      ("fps", 0x165667b19e3779f9L, LaneFps))
+    val buckets = lanes.map { case (c, salt, bit) =>
+      features.select(explode(col(c)).as("k0"), col("id"))
+        .select(col("k0").bitwiseXOR(lit(salt)).as("key"), col("id"), lit(bit).as("lane"))
+    }.reduce(_ union _).as[CandidatePairs.Bucket]
     CandidatePairs.pairs(buckets, cfg)
   }
 
-  /** Union of the three candidate lanes, deduplicated. */
-  def candidates(features: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val lsh = lane(features, "bands", cfg)
-    val sim = lane(features, "blocks", cfg)
-    val fps = lane(features, "fps", cfg)
-    lsh.union(sim).union(fps).distinct()
-  }
-
-  /** Exact verification of candidate pairs with the oracle-shared predicate,
-    * in two passes:
-    *  1. the expression pass (Hamming + exact Jaccard — cheap, codegen'd
-    *     stage, no state);
-    *  2. the substring-containment pass over the remainder: grouped by the
-    *     container document and checked against a per-container suffix
-    *     array built once per group ([[SuffixArray]]) — the "per-partition
-    *     suffix-array pass" of the north rule. Identical semantics to
-    *     `longer.contains(shorter)`, exactness preserved.
+  /** Exact verification of candidate pairs. Each predicate clause is
+    * evaluated only for the pairs whose lane can have produced it (lane
+    * provenance bits from [[candidates]]):
+    *
+    *  1. Hamming <= max: every pair — one xor+popcount on the slim join
+    *     (no transcript text shuffled for pairs that die here, which is
+    *     most of the SimHash-block lane's output);
+    *  2. exact Jaccard >= t: only pairs the LSH band lane emitted AND whose
+    *     distinct-shingle counts allow J >= t (exact bound J <= min/max) —
+    *     hash-probe Jaccard, memoized shingle sets;
+    *  3. substring containment: only pairs the winnowing lane emitted with
+    *     min length >= minContainLen, via the grouped per-container
+    *     suffix-array pass ([[containmentEdges]]).
+    *
+    * Vs the oracle predicate this can only drop a pair whose clause held
+    * but whose OWN lane missed it (e.g. jaccard-true with zero shared
+    * bands: P < 2e-4 at the frozen (b,r)); the recall gate covers it.
     */
   def verifiedEdges(features: DataFrame, cands: DataFrame,
                     cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val fa = features.select(col("id").as("a"), col("norm").as("norm_a"),
-      col("simhash").as("sim_a"))
-    val fb = features.select(col("id").as("b"), col("norm").as("norm_b"),
-      col("simhash").as("sim_b"))
-    val joined = cands
-      .join(fa, "a")
-      .join(fb, "b")
-      .withColumn("fast", is_dup_fast(col("norm_a"), col("norm_b"), col("sim_a"), col("sim_b")))
+    val slimA = features.select(col("id").as("a"), col("simhash").as("sim_a"),
+      col("nsh").as("nsh_a"), col("nlen").as("nlen_a"))
+    val slimB = features.select(col("id").as("b"), col("simhash").as("sim_b"),
+      col("nsh").as("nsh_b"), col("nlen").as("nlen_b"))
+    val slim = cands.join(slimA, "a").join(slimB, "b")
+      .withColumn("ham_ok",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= cfg.hammingMax)
+      .withColumn("jac_possible",
+        (col("lane").bitwiseAND(lit(LaneBands)) =!= 0) &&
+          least(col("nsh_a"), col("nsh_b")).cast("double") >=
+            greatest(col("nsh_a"), col("nsh_b")) * cfg.jaccardThreshold)
+      // NOTE deliberately no fps_hits>=2 gate here: bucket multiplicities
+      // depend on sketch-driven salting, which varies with partitioning —
+      // gating on them would make the edge set parallelism-dependent.
+      // Membership in a lane (the bit) is partition-independent.
+      .withColumn("con_possible",
+        (col("lane").bitwiseAND(lit(LaneFps)) =!= 0) &&
+          least(col("nlen_a"), col("nlen_b")) >= cfg.minContainLen)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fastEdges = joined.where(col("fast")).select(col("a"), col("b"))
-    val slow = joined.where(!col("fast") &&
-      least(length(col("norm_a")), length(col("norm_b"))) >= cfg.minContainLen)
-    fastEdges.union(containmentEdges(slow, cfg)).distinct()
+
+    val hamEdges = slim.where(col("ham_ok")).select(col("a"), col("b"))
+
+    // only surviving non-hamming pairs ever join the transcript text
+    val need = slim.where(!col("ham_ok") && (col("jac_possible") || col("con_possible")))
+      .select(col("a"), col("b"), col("jac_possible"), col("con_possible"))
+    val normA = features.select(col("id").as("a"), col("norm").as("norm_a"))
+    val normB = features.select(col("id").as("b"), col("norm").as("norm_b"))
+    val withNorms = need.join(normA, "a").join(normB, "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val jacEdges = withNorms.where(col("jac_possible") &&
+      jaccard_ge(col("norm_a"), col("norm_b"))).select(col("a"), col("b"))
+    val conEdges = containmentEdges(withNorms.where(col("con_possible")), cfg)
+
+    hamEdges.union(jacEdges).union(conEdges).distinct()
   }
 
   /** The grouped suffix-array containment pass. Input rows carry

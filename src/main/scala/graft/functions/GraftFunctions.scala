@@ -106,15 +106,30 @@ object GraftFunctions {
       StructField("norm", StringType, nullable = false),
       StructField("simhash", LongType, nullable = false),
       StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
-      StructField("fps", ArrayType(LongType, containsNull = false), nullable = false)))
+      StructField("fps", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("nsh", IntegerType, nullable = false)))
     override def nullSafeEval(v: Any): Any = {
-      val (norm, sim, bands, fps) =
+      val (norm, sim, bands, fps, nsh) =
         TextFeatures.signatures(v.asInstanceOf[UTF8String].toString, cfg)
       InternalRow(UTF8String.fromString(norm), sim,
-        new GenericArrayData(bands), new GenericArrayData(fps))
+        new GenericArrayData(bands), new GenericArrayData(fps), nsh)
     }
     override protected def withNewChildInternal(c: Expression): TextSignatures = copy(c)
     override def prettyName: String = "graft_text_signatures"
+  }
+
+  /** jaccard_ge(normA, normB): exact char-k-gram Jaccard >= threshold, via
+    * hash-probe with thread-local shingle-set memoization (the verification
+    * hot path — no sorts, shared sides amortized). */
+  case class JaccardGe(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextFeatures.jaccardGe(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+        cfg.shingleK, cfg.seed, cfg.jaccardThreshold)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardGe =
+      copy(l, r)
+    override def prettyName: String = "graft_jaccard_ge"
   }
 
   /** jaccard_shingles(normA, normB): exact char-k-gram-set Jaccard. */
@@ -338,6 +353,7 @@ object GraftFunctions {
   def simhash_block_keys(c: Column): Column = col(SimHashBlockKeys(ex(c)))
   def winnow_fps(c: Column): Column = col(WinnowFps(ex(c)))
   def jaccard_shingles(a: Column, b: Column): Column = col(JaccardShingles(ex(a), ex(b)))
+  def jaccard_ge(a: Column, b: Column): Column = col(JaccardGe(ex(a), ex(b)))
   def is_dup_pair(a: Column, b: Column, sa: Column, sb: Column): Column =
     col(IsDupPair(ex(a), ex(b), ex(sa), ex(sb)))
   def is_dup_fast(a: Column, b: Column, sa: Column, sb: Column): Column =

@@ -99,15 +99,16 @@ object TextFeatures {
 
   /** All per-document signatures in one pass over the raw text: normalize
     * once, shingle once per shingle family. Returns (norm, simhash,
-    * bandKeys, winnowFps) — the fused feature tuple the pipeline projects. */
-  def signatures(raw: String, cfg: DedupConfig): (String, Long, Array[Long], Array[Long]) = {
+    * bandKeys, winnowFps, numDistinctShingles) — the fused feature tuple
+    * the pipeline projects. */
+  def signatures(raw: String, cfg: DedupConfig): (String, Long, Array[Long], Array[Long], Int) = {
     val norm = normalize(raw)
     val sh = shingleSet(norm, cfg.shingleK, cfg.seed)
     val sig = minhashSignature(sh, cfg)
     val bands = bandHashes(sig, cfg)
     val sim = simhash64(norm, cfg.seed)
     val fps = winnowFingerprints(norm, cfg)
-    (norm, sim, bands, fps)
+    (norm, sim, bands, fps, sh.length)
   }
 
   /** LSH band hashes: signature split into `bands` groups of `rowsPerBand`,
@@ -167,7 +168,9 @@ object TextFeatures {
   /** Hamming-block keys for a simhash: 64 bits split into cfg.simhashBlocks
     * equal blocks; pigeonhole ⇒ two hashes within hammingMax (< blocks)
     * Hamming distance share at least one identical block. Key packs
-    * (blockIdx, blockValue). */
+    * (blockIdx, blockValue). (A block-PAIR variant was measured and
+    * rejected: on vocab-correlated simhashes the C(8,2) 8-bit pair keys
+    * produce 4.5x the junk of 4x16-bit single blocks.) */
   def simhashBlockKeys(sim: Long, cfg: DedupConfig): Array[Long] = {
     val width = 64 / cfg.simhashBlocks
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -210,6 +213,46 @@ object TextFeatures {
     val arr = out.keysIterator.toArray
     java.util.Arrays.sort(arr)
     arr
+  }
+
+  /** Thread-local memo of SORTED shingle-hash arrays keyed by the
+    * UTF8String's own byte hash — on a hit the verification path does zero
+    * string conversion and zero shingling, just a merge walk. Verification
+    * join output clusters pairs that share one side, so hits dominate.
+    * A key collision would reuse a wrong set with probability ~2^-64×
+    * (working set)/2^32-ish (keys mix hashCode and length); ignored. */
+  private val shingleMemo = new ThreadLocal[java.util.LinkedHashMap[Long, Array[Long]]] {
+    override def initialValue(): java.util.LinkedHashMap[Long, Array[Long]] =
+      new java.util.LinkedHashMap[Long, Array[Long]](2049, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, Array[Long]]): Boolean = size() > 2048
+      }
+  }
+
+  /** Sorted distinct shingle hashes of a UTF8String's text (memoized).
+    * The memo key is a full 64-bit content hash — an Int hashCode would
+    * collide at ~n²/2^33 and make verdicts depend on LRU state. */
+  def shingleSorted(u: org.apache.spark.unsafe.types.UTF8String, k: Int, seed: Long): Array[Long] = {
+    val key = Murmur3.hashBytes(u.getBytes, seed ^ 0x5deece66dL)
+    val memo = shingleMemo.get()
+    val cached = memo.get(key)
+    if (cached != null) return cached
+    val arr = shingleSet(u.toString, k, seed)
+    memo.put(key, arr)
+    arr
+  }
+
+  /** Exact Jaccard >= threshold via merge walk over memoized sorted arrays:
+    * equivalent to jaccardSorted(shingleSet(a), shingleSet(b)) >= t. */
+  def jaccardGe(a: org.apache.spark.unsafe.types.UTF8String,
+                b: org.apache.spark.unsafe.types.UTF8String,
+                k: Int, seed: Long, t: Double): Boolean = {
+    val sa = shingleSorted(a, k, seed)
+    val sb = shingleSorted(b, k, seed)
+    val (small, big) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+    if (big.length == 0) return true // both empty
+    if (small.length.toDouble / big.length < t) return false // J <= min/max
+    jaccardSorted(sa, sb) >= t
   }
 
   /** Exact Jaccard of two SORTED distinct-hash arrays (merge walk). */
