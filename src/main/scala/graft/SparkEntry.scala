@@ -238,6 +238,19 @@ object SparkEntry {
       DedupPipeline.dedupOutput(clips, assign)
         .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"))
         .orderBy(col("clip_id"))
+    }),
+    "p03_audio_stats" -> ((s, _) => {
+      // multimodal lane: decode opaque binary audio per codec, aggregate
+      // signal features (rows-only: engine-side G.711/PCM decoders)
+      val clips = CorpusGen.clips(s, 500).toDF()
+      clips.select(col("codec"), col("sr_hz"),
+          size(pcm_decode(col("bytes"), col("codec"))).as("n_samples"),
+          audio_rms(col("bytes"), col("codec")).as("rms"))
+        .groupBy(col("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_samples")).as("total_samples"),
+          round(avg(col("rms")), 1).as("avg_rms"))
+        .orderBy(col("codec"))
     })
   )
 

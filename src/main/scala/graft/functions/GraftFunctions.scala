@@ -386,6 +386,13 @@ object GraftFunctions {
     one("graft_jaccard_shingles", es => JaccardShingles(es(0), es(1)))
     one("graft_is_dup_pair", es => IsDupPair(es(0), es(1), es(2), es(3)))
     one("graft_hash_id", es => HashId(es.head))
+    one("graft_text_signatures", es => TextSignatures(es.head))
+    one("graft_jaccard_ge", es => JaccardGe(es(0), es(1)))
+    one("graft_is_dup_fast", es => IsDupFast(es(0), es(1), es(2), es(3)))
+    one("graft_cosine_sim", es => CosineSim(es(0), es(1)))
+    one("graft_pcm_decode", es => PcmDecode(es(0), es(1)))
+    one("graft_audio_rms", es => AudioRms(es(0), es(1)))
+    one("graft_audio_snr_db", es => AudioSnrDb(es(0), es(1), es(2), es(3)))
     one("graft_lang_id", es => LangId(es.head))
     one("graft_quality_score", es => QualityScore(es.head))
     one("graft_doc_fingerprint", es => DocFingerprint(es.head))

@@ -85,6 +85,21 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     snrs.foreach(r => assert(r.getDouble(1) > 1000 || r.getDouble(1).isPosInfinity))
   }
 
+  test("SQL registration: graft functions callable from spark.sql") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, "The  Quick   Brown Fox")).toDF("id", "t").createOrReplaceTempView("sqlreg")
+    val row = spark.sql(
+      """SELECT graft_normalize_text(t) AS norm,
+        |       graft_simhash64(graft_normalize_text(t)) AS sim,
+        |       graft_lang_id(t) AS lang,
+        |       graft_doc_fingerprint(t) AS fp,
+        |       size(graft_minhash_sig(graft_normalize_text(t))) AS k
+        |FROM sqlreg""".stripMargin).collect()(0)
+    assert(row.getString(0) == "the quick brown fox")
+    assert(row.getInt(4) == graft.core.DedupConfig.default.numHashes)
+  }
+
   test("lang_id / quality_score / doc_fingerprint as columns") {
     import spark.implicits._
     val df = Seq(
