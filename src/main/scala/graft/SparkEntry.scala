@@ -191,8 +191,16 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"),
           size(split(norm, " ")).as("n_tokens"),
+          regexp_count(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
           length(norm).as("n_chars_norm"))
         .orderBy(col("doc_id"))
+    }),
+    "q14_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
     }),
     "d06_quality_score" -> ((s, d) => {
       // rows-only: blended heuristic is intentionally engine-side
@@ -349,8 +357,13 @@ object SparkEntry {
     "d05_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens,
+        |  len(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "d07_fingerprint_groups" ->
       """WITH g AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
         |                  count(*) AS group_size

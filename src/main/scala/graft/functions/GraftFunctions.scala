@@ -267,6 +267,37 @@ object GraftFunctions {
     override def prettyName: String = "graft_audio_rms"
   }
 
+  /** audio_frames(bytes, codec, srHz, frameMs): frame-sampled feature
+    * extraction — per-frame RMS over non-overlapping windows (the audio
+    * analogue of image resize/frame-sample for training pipelines). */
+  case class AudioFrames(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(bytes: Any, codec: Any, sr: Any, frameMs: Any): Any = {
+      val pcm = graft.audio.AudioCodec.decode(
+        bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String].toString)
+      val frameLen = math.max(1, sr.asInstanceOf[Int] * frameMs.asInstanceOf[Int] / 1000)
+      val nFrames = math.max(1, pcm.length / frameLen)
+      val out = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var i = f * frameLen
+        val end = math.min(pcm.length, i + frameLen)
+        val n = end - i
+        while (i < end) { val v = pcm(i).toDouble; acc += v * v; i += 1 }
+        out(f) = if (n == 0) 0.0 else math.sqrt(acc / n)
+        f += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression, d: Expression): AudioFrames =
+      copy(a, b, c, d)
+    override def prettyName: String = "graft_audio_frames"
+  }
+
   /** audio_snr_db(bytesA, codecA, bytesB, codecB): SNR of B's decoded PCM
     * against A's over the common prefix — the per-row invariant metric. */
   case class AudioSnrDb(first: Expression, second: Expression,
@@ -362,6 +393,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def pcm_decode(bytes: Column, codec: Column): Column = col(PcmDecode(ex(bytes), ex(codec)))
   def audio_rms(bytes: Column, codec: Column): Column = col(AudioRms(ex(bytes), ex(codec)))
+  def audio_frames(bytes: Column, codec: Column, srHz: Column, frameMs: Column): Column =
+    col(AudioFrames(ex(bytes), ex(codec), ex(srHz), ex(frameMs)))
   def audio_snr_db(ba: Column, ca: Column, bb: Column, cb: Column): Column =
     col(AudioSnrDb(ex(ba), ex(ca), ex(bb), ex(cb)))
   def hyperplane_sig(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
