@@ -233,6 +233,40 @@ object SparkEntry {
         .select(col("vec_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("vec_id"), col("rank"))
     }),
+    "e03_cosine_neardup" -> ((s, d) => {
+      // embedding-cosine near-duplicate pairs (threshold on the rounded
+      // similarity so both engines compare identical 3-decimal values)
+      val vecs = t(s, d, "embeddings")
+      val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.crossJoin(broadcast(b))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("sim_r3", round(cosine_sim(col("a_emb"), col("b_emb")), 3))
+        .where(col("sim_r3") >= 0.45)
+        .select(col("a_id"), col("b_id"), col("sim_r3"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "q15_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+    "d08_simhash_groups" -> ((s, d) => {
+      // SimHash Hamming-block bucket histogram over documents (rows-only:
+      // token-TF SimHash is engine-side); the bucket-size distribution is
+      // the skew diagnostic the salting machinery consumes
+      t(s, d, "documents")
+        .select(explode(simhash_block_keys(simhash64(col("text")))).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))
+    }),
     // ------------------------------------------- the dedup pipeline itself
     "p01_dedup_assignments" -> ((s, _) => {
       val clips = CorpusGen.clips(s, 1000).toDF()
@@ -369,6 +403,19 @@ object SparkEntry {
         |                  count(*) AS group_size
         |           FROM documents GROUP BY 1)
         |SELECT group_size, count(*) AS n_groups FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus, count(*) AS cnt,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "e03_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_cosine_similarity(a.emb, b.emb), 3) AS sim_r3
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 3) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
     "e01_knn_exact" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id % 10 = 0),
         |     b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS emb FROM embeddings)

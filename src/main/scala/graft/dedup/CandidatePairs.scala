@@ -106,23 +106,36 @@ object CandidatePairs {
       if (s <= 1) 0 else (Math.floorMod(graft.core.Murmur3.hashLong(id, key), s.toLong)).toInt
     }
 
-    val grouped = buckets
+    val salted = buckets
       .withColumn("salt", saltOf($"key", $"id"))
-      .groupBy($"key", $"salt", $"lane")
-      .agg(collect_list($"id").as("ids"))
-      .select($"key", $"salt", $"lane", $"ids".as[Array[Long]])
-      .as[(Long, Int, Int, Array[Long])]
+      .select($"key", $"salt".cast("int").as("salt"), $"lane", $"id")
+      .as[(Long, Int, Int, Long)]
 
-    // pairs within each (key, salt) group, tagged with the lane bit
-    val within = grouped.flatMap { case (_, _, lane, ids) =>
-      expand(ids, cap).map { case (a, b) => (a, b, lane) }
-    }.toDF("a", "b", "lane")
+    // pairs within each (key, salt, lane) group: typed groupByKey +
+    // flatMapGroups — a sort-based shuffle that streams each group once.
+    // (The previous collect_list/ObjectHashAggregate version spent more task
+    // CPU in SizeEstimator graph walks than in pair expansion; measured via
+    // jstack sampling at local[32].) Groups are bounded by construction:
+    // cold keys have < cap rows, hot keys are salted into ~cap-sized
+    // sub-buckets, so the per-group id array is O(cap).
+    val within = salted
+      .groupByKey { case (key, salt, lane, _) => (key, salt, lane) }
+      .flatMapGroups { (k: (Long, Int, Int), rows: Iterator[(Long, Int, Int, Long)]) =>
+        val lane = k._3
+        val ids = rows.map(_._4).toArray
+        expand(ids, cap).map { case (a, b) => (a, b, lane) }
+      }
+      .toDF("a", "b", "lane")
 
-    // chain stitching across salt groups of the same hot key
-    val chains = grouped
-      .filter($"salt" > 0 || udf((k: Long) => bcSalts.value.contains(k)).apply($"key"))
-      .map { case (key, salt, lane, ids) => (key, salt, lane, ids.min) }
-      .toDF("key", "salt", "lane", "minId")
+    // chain stitching across salt groups of the same hot key: min-id per
+    // (key, lane, salt) via a map-side-combinable primitive hash agg (the
+    // input is the full bucket set but the output is hot-keys-only, tiny),
+    // then per-(key, lane) chains over the salt-ordered reps.
+    val isHot = udf((k: Long) => bcSalts.value.contains(k))
+    val chains = salted.toDF("key", "salt", "lane", "id")
+      .where(isHot($"key"))
+      .groupBy($"key", $"lane", $"salt")
+      .agg(min($"id").as("minId"))
       .groupBy($"key", $"lane")
       .agg(sort_array(collect_list(struct($"salt", $"minId"))).as("reps"))
       .select($"lane", $"reps.minId".as[Array[Long]])
@@ -136,12 +149,10 @@ object CandidatePairs {
       }
       .toDF("a", "b", "lane")
 
-    // lane = OR of producing lanes; fps_hits = number of winnowing buckets
-    // that independently produced the pair (containment evidence strength:
-    // a true >=minContainLen containment shares >=2 winnow fingerprints)
+    // lane = OR of the lane bits that produced the pair (verification then
+    // evaluates only the clauses whose lane emitted it)
     within.union(chains).where($"a" =!= $"b")
       .groupBy($"a", $"b")
-      .agg(bit_or($"lane").as("lane"),
-        sum(when($"lane" === 4, 1).otherwise(0)).as("fps_hits"))
+      .agg(bit_or($"lane").as("lane"))
   }
 }

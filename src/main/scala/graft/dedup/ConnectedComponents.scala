@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Iterative self-join connected components (min-label propagation with
   * pointer jumping), pure DataFrame — SURVEY.md §2.2 P9.
@@ -55,12 +56,22 @@ object ConnectedComponents {
   }
 
   /** Count of vertices whose label changed between rounds (exact convergence
-    * signal; both inputs expected checkpointed). */
+    * signal; both inputs expected checkpointed). Retained for tests; the run
+    * loop uses [[labelSum]] — same signal, no join. */
   def changedCount(oldLabels: DataFrame, newLabels: DataFrame): Long =
     newLabels.as("n")
       .join(oldLabels.as("o"), col("n.id") === col("o.id"))
       .where(col("n.label") =!= col("o.label"))
       .count()
+
+  /** Exact sum of labels as a decimal (no 64-bit wrap at 10^12 vertices).
+    * Per-vertex labels are monotone non-increasing under min-propagation and
+    * the vertex set is fixed, so the sum is strictly decreasing until the
+    * fixpoint: sum unchanged ⟺ no label changed. One cheap scan-agg job on
+    * checkpointed partitions instead of a join+count shuffle per round. */
+  def labelSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("label").cast(DecimalType(38, 0))))
+      .collect()(0).getDecimal(0)
 
   /** @param edges DataFrame with long columns (a, b) — undirected unique pairs.
     * @return DataFrame (id: Long, label: Long) — label = min id in component.
@@ -68,11 +79,14 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = symmetrize(edges).localCheckpoint(true)
     var labels = initLabels(sym).localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val jumped = step(sym, labels).localCheckpoint(true)
-      converged = changedCount(labels, jumped) == 0
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = jumped
       iter += 1
     }
