@@ -146,7 +146,10 @@ object Bench {
       val checksum = assignmentChecksum(DedupPipeline.run(clips, DedupConfig.default))
       ((System.nanoTime() - t0) / 1e9, checksum)
     }
-    val reps = prop("graft.benchReps", "2").toInt
+    // 4 reps: this host shows multi-minute interference windows that can
+    // swallow 2 consecutive iterations; min-of-4 after warmup is the
+    // smallest k that reliably catches a clean window (measured)
+    val reps = prop("graft.benchReps", "4").toInt
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum

@@ -41,18 +41,29 @@ object ConnectedComponents {
     sym.select($"src".as("id")).distinct().withColumn("label", $"id")
   }
 
-  /** One propagation round: neighbor-min label, then one pointer jump
-    * (label := label's label), halving the remaining diameter. */
+  /** One pointer jump: label := label's label (labels only ever decrease,
+    * so `least` + left join is a safe contraction even when the label is
+    * not itself a vertex of the table). */
+  private def jump(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    val l2 = labels.select($"id".as("lid"), $"label".as("llabel"))
+    labels.as("x")
+      .join(l2.as("y"), col("x.label") === col("y.lid"), "left")
+      .select(col("x.id").as("id"),
+        least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
+  }
+
+  /** One propagation round: neighbor-min label, then two pointer jumps
+    * (label := label(label(label))), quartering the remaining diameter —
+    * the jump joins run on the small (id, label) table, while each saved
+    * round saves a full edge-table propagate join, so two jumps per round
+    * is the cheaper trade (measured on the bench corpus). */
   def step(sym: DataFrame, labels: DataFrame): DataFrame = {
     import sym.sparkSession.implicits._
     val msgs = sym.join(labels, sym("src") === labels("id"))
       .select(sym("dst").as("id"), labels("label"))
     val minLabels = msgs.groupBy($"id").agg(min($"label").as("label"))
-    val l2 = minLabels.select($"id".as("lid"), $"label".as("llabel"))
-    minLabels.as("x")
-      .join(l2.as("y"), col("x.label") === col("y.lid"), "left")
-      .select(col("x.id").as("id"),
-        least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
+    jump(jump(minLabels))
   }
 
   /** Count of vertices whose label changed between rounds (exact convergence
