@@ -59,7 +59,15 @@ object DedupPipeline {
       ("blocks", 0xc2b2ae3d27d4eb4fL, LaneBlocks),
       ("fps", 0x165667b19e3779f9L, LaneFps))
     val buckets = lanes.map { case (c, salt, bit) =>
-      features.select(explode(col(c)).as("k0"), col("id"))
+      // the winnowing lane only feeds the substring-containment clause,
+      // which requires both norms >= minContainLen — fingerprints of
+      // shorter rows can never produce a surviving containment edge, so
+      // they are dropped before the bucket shuffle (their hamming/jaccard
+      // dup pairs are still guaranteed by the SimHash-block pigeonhole and
+      // LSH band lanes respectively)
+      val src = if (bit == LaneFps) features.where(col("nlen") >= cfg.minContainLen)
+                else features
+      src.select(explode(col(c)).as("k0"), col("id"))
         .select(col("k0").bitwiseXOR(lit(salt)).as("key"), col("id"), lit(bit).as("lane"))
     }.reduce(_ union _).as[CandidatePairs.Bucket]
     CandidatePairs.pairs(buckets, cfg)
