@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNTOUCHED: sbt's default logged
+// output prefixes every line with "[info] ", which made the driver unable
+// to machine-parse graft.Bench's single JSON result line (BENCH_r01.json
+// recorded "parsed": null). StdoutOutput writes the child's streams straight
+// to this process's stdout/stderr.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += Compile / runMain / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

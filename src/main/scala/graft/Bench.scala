@@ -90,7 +90,11 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val java = s"${System.getProperty("java.home")}/bin/java"
-    val cmd = Seq(java, "-Xms28g", "-Xmx28g", "-Xmn22g",
+    // heap/newgen overridable like every other knob (hosts with < ~30g free
+    // RAM would otherwise hard-fail on AlwaysPreTouch)
+    val heap = prop("graft.childHeap", "28g")
+    val newGen = prop("graft.childNewGen", "22g")
+    val cmd = Seq(java, s"-Xms$heap", s"-Xmx$heap", s"-Xmn$newGen",
       "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy", "-XX:SurvivorRatio=6",
       "-XX:+AlwaysPreTouch", "-XX:ParallelGCThreads=8", "-XX:CICompilerCount=4") ++
       addOpens ++
@@ -181,14 +185,16 @@ object Bench {
     val dedupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "160000").toInt
 
     // ---- headline operator queries at local[cores] ------------------------
-    val benched = Seq(
-      "q01_pricing_summary", "q02_topn_revenue", "q03_join_agg", "q04_window_rank",
-      "q05_semi_join", "q06_anti_join", "q07_setops", "q08_heavy_hitters_exact",
-      "q09_heavy_hitters_sketch", "q10_countmin_point", "q11_sessions", "q12_rollup",
-      "q13_median", "d01_dedup_exact", "d02_ngram_jaccard", "d04_lang_id",
-      "d05_token_stats", "d06_quality_score", "d07_fingerprint_groups",
-      "e01_knn_exact", "e02_knn_lsh")
+    // every driver-checked query is benched; a throwaway warm-up query runs
+    // first so the session-init cost (codegen warmup, parquet footer cache,
+    // first-shuffle setup) is not billed to whichever query happens to run
+    // first (round 1 billed ~7s of warmup to q01)
+    val benched = SparkEntry.queries.keys.toSeq.sorted
     val spark0 = session(cores)
+    try spark0.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).count()
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val results = benched.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -230,6 +236,12 @@ object Bench {
         f""""scaling_efficiency_2to8":$eff2to8%.3f,""" +
         f""""scaling_efficiency_8to32":$eff8to32%.3f,""" +
         f""""deterministic":${sum2 == sum8 && sum8 == sum32}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedupJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedupJson}"""
+    // belt and braces for machine readers: the line goes to stdout (clean —
+    // build.sbt routes forked run output through StdoutOutput) AND to a file
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import graft.core.{DedupConfig, Murmur3}
+import graft.corpus.CorpusGen
+import graft.dedup.BruteForceOracle
+import graft.text.TextFeatures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-checkable expected outputs for queries whose semantics are not
+  * DuckDB-expressible (the dedup pipeline itself, SimHash bucketing, audio
+  * decode). Each writer computes the expectation with the INDEPENDENT
+  * reference implementation — the brute-force O(n²) oracle
+  * ([[BruteForceOracle]], grafting the reference's exact-oracle test method,
+  * `MasterFETest.java:213-275`) or driver-side pure-Scala evaluation — and
+  * persists it as a single parquet the driver's DuckDB reads back via
+  * `read_parquet(...)`, turning the former rows-only checks into hard
+  * hash-compared gates.
+  *
+  * Everything here is deterministic (seeded corpus, sorted emission), so
+  * repeated Verify/Bench invocations rewrite identical bytes.
+  */
+object OracleDump {
+
+  /** Where the expected parquets (and the persisted LSH output the e02
+    * contract checks) land; oracleSql interpolates the same path. */
+  def dir: String = sys.props.getOrElse("graft.oracleDir", "/tmp/graft_oracle")
+
+  private val cfg = DedupConfig.default
+
+  private def hashId(s: String): Long = Murmur3.hashString(s, cfg.seed + 6000L)
+
+  private def write(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Components of the brute-force oracle over `keys` (cluster-key strings)
+    * and their texts: per index -> (clusterLabel = min hashId of member key,
+    * repKey = lexicographically smallest member key). */
+  private def oracleComponents(keys: Array[String], texts: Array[String])
+      : (Array[Long], Array[String]) = {
+    val roots = BruteForceOracle.clusters(texts, cfg)
+    val members = roots.indices.groupBy(roots(_))
+    val label = new Array[Long](keys.length)
+    val rep = new Array[String](keys.length)
+    members.values.foreach { idxs =>
+      val lbl = idxs.map(i => hashId(keys(i))).min
+      val r = idxs.map(keys(_)).min
+      idxs.foreach { i => label(i) = lbl; rep(i) = r }
+    }
+    (label, rep)
+  }
+
+  /** Expected p01 output: (clip_id, cluster, rep_clip_id, is_rep) for the
+    * n-clip deterministic corpus, from the brute-force oracle. */
+  def dedupAssignExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    import spark.implicits._
+    val pl = CorpusGen.plan(n, cfg.seed)
+    val specs = (0 until n).map(i => CorpusGen.clipSpec(cfg.seed, i.toLong, pl))
+    val ids = Array.tabulate(n)(i => CorpusGen.clipId(i.toLong))
+    val (label, rep) = oracleComponents(ids, specs.map(_.transcript).toArray)
+    val rows = (0 until n).map(i => (ids(i), label(i), rep(i), ids(i) == rep(i)))
+    write(rows.toDF("clip_id", "cluster", "rep_clip_id", "is_rep"), path)
+  }
+
+  /** Expected p02 output: the surviving (representative) rows with their
+    * generation-time audio metadata. */
+  def dedupSurvivorsExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    import spark.implicits._
+    val pl = CorpusGen.plan(n, cfg.seed)
+    val specs = (0 until n).map(i => CorpusGen.clipSpec(cfg.seed, i.toLong, pl))
+    val ids = Array.tabulate(n)(i => CorpusGen.clipId(i.toLong))
+    val (_, rep) = oracleComponents(ids, specs.map(_.transcript).toArray)
+    val rows = (0 until n).filter(i => ids(i) == rep(i)).map { i =>
+      val s = specs(i)
+      (ids(i), s.params.srHz, s.params.durMs, s.codec)
+    }
+    write(rows.toDF("clip_id", "sr_hz", "dur_ms", "codec"), path)
+  }
+
+  /** Expected p03 output: per-codec decode stats computed by plain Scala
+    * loops over the generated corpus (encode -> decode -> count/RMS), fully
+    * outside the Spark expression/aggregation path the query exercises.
+    * min/max are order-independent, so no float-summation-order hazard. */
+  def audioStatsExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    import spark.implicits._
+    val pl = CorpusGen.plan(n, cfg.seed)
+    val byCodec = scala.collection.mutable.Map[String, (Long, Long, Double, Double)]()
+    var i = 0
+    while (i < n) {
+      val spec = CorpusGen.clipSpec(cfg.seed, i.toLong, pl)
+      val pcm = CorpusGen.referencePcm(spec.params, spec.gain)
+      val bytes = graft.audio.AudioCodec.encode(pcm, spec.codec)
+      val dec = graft.audio.AudioCodec.decode(bytes, spec.codec)
+      var acc = 0.0
+      var j = 0
+      while (j < dec.length) { val v = dec(j).toDouble; acc += v * v; j += 1 }
+      val rms = if (dec.isEmpty) 0.0 else math.sqrt(acc / dec.length)
+      val (cnt, samp, mn, mx) =
+        byCodec.getOrElse(spec.codec, (0L, 0L, Double.MaxValue, Double.MinValue))
+      byCodec.update(spec.codec,
+        (cnt + 1, samp + dec.length, math.min(mn, rms), math.max(mx, rms)))
+      i += 1
+    }
+    val rows = byCodec.toSeq.sortBy(_._1).map { case (c, (cnt, samp, mn, mx)) =>
+      (c, cnt, samp, mn, mx)
+    }
+    write(rows.toDF("codec", "n", "total_samples", "min_rms", "max_rms"), path)
+  }
+
+  /** Expected d03 output: brute-force-oracle clustering of the documents
+    * table (keys are the stringified doc_ids, matching the pipeline's
+    * clip_id mapping). */
+  def docClustersExpected(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    val collected = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val keys = collected.map(_._1.toString)
+    val (label, rep) = oracleComponents(keys, collected.map(_._2))
+    val rows = collected.indices.map { i =>
+      (collected(i)._1, label(i), keys(i) == rep(i))
+    }
+    write(rows.toDF("doc_id", "cluster", "is_rep"), path)
+  }
+
+  /** Expected d08 output: SimHash block-bucket size histogram computed by a
+    * sequential Scala pass (the shared TextFeatures primitives ARE the
+    * contract; what this checks is the distributed explode/groupBy plumbing). */
+  def simhashHistExpected(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    val texts = docs.select("text").as[String].collect()
+    val bucketCounts = scala.collection.mutable.Map[Long, Long]()
+    texts.foreach { t =>
+      val sim = TextFeatures.simhash64(t, cfg.seed)
+      TextFeatures.simhashBlockKeys(sim, cfg).foreach { k =>
+        bucketCounts.update(k, bucketCounts.getOrElse(k, 0L) + 1L)
+      }
+    }
+    val hist = bucketCounts.values.groupBy(identity)
+      .map { case (size, g) => (size, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    write(hist.toDF("group_size", "n_groups"), path)
+  }
+}

@@ -42,17 +42,23 @@ object SparkEntry {
     "q01_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // sums accumulate in DECIMAL (exact) and the FINAL value is cast to
+        // DOUBLE: Spark widens decimal sums to DECIMAL(p+10,s), DuckDB to
+        // DECIMAL(38,s) — value-identical but engine-native-type-different,
+        // which trips the driver's hash. A final double is bit-identical in
+        // both engines (unscaled sums here are far below 2^53, and IEEE
+        // decimal->double conversion is correctly rounded in both).
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base"),
-          sum(discounted).cast("decimal(28,4)").as("sum_disc"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
+          sum(discounted).cast("double").as("sum_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q02_topn_revenue" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(discounted).cast("decimal(28,4)").as("revenue"))
+        .agg(sum(discounted).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -126,9 +132,15 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // epoch seconds WITH the microsecond fraction, matching DuckDB's
+        // epoch(); unix_timestamp() truncates to whole seconds and
+        // sessionizes gaps in (3600.0, 3601.0) differently. The parquet ts
+        // is TIMESTAMP_NTZ (no double cast) — the session tz is UTC, so the
+        // ntz->tz hop is exact and matches DuckDB's naive epoch().
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1).otherwise(0))
+            col("ts").cast("timestamp").cast("double") -
+              col("prev_ts").cast("timestamp").cast("double") > 3600d, 1L).otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
@@ -173,9 +185,12 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
     "d03_minhash_clusters" -> ((s, d) => {
-      // the dedup pipeline itself on the documents table (rows-only check:
-      // char-shingle MinHash semantics are not DuckDB-expressible)
-      val docs = t(s, d, "documents")
+      // the dedup pipeline itself on the documents table; the oracle is the
+      // brute-force O(n²) clustering (same frozen predicate) persisted for
+      // the driver's DuckDB to read back — a hard pipeline-vs-oracle gate
+      val docsRaw = t(s, d, "documents")
+      OracleDump.docClustersExpected(s, docsRaw, s"${OracleDump.dir}/d03")
+      val docs = docsRaw
         .select(col("doc_id").cast("string").as("clip_id"), col("text").as("transcript"))
       DedupPipeline.run(docs, DedupConfig.default)
         .select(col("clip_id").cast("long").as("doc_id"), col("cluster"), col("is_rep"))
@@ -227,11 +242,24 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("rank"))
     }),
     "e02_knn_lsh" -> ((s, d) => {
-      // rows-only: LSH bucketing is engine-side; recall vs e01 is asserted
-      // in the ScalaTest suite
-      Ann.lshTopK(t(s, d, "embeddings"), 3)
+      // driver-checked recall contract: the LSH top-k output is persisted;
+      // BOTH engines then independently compute exact top-3 and measure the
+      // LSH result's recall against it (+ the >=0.8 floor as a column), so
+      // the reported recall is cross-verified by DuckDB, not self-asserted.
+      // (AnnSpec additionally enforces the floor in sbt.)
+      import s.implicits._
+      val vecs = t(s, d, "embeddings")
+      Ann.lshTopK(vecs, 3)
         .select(col("vec_id"), col("neighbor_id"), col("rank"))
-        .orderBy(col("vec_id"), col("rank"))
+        .coalesce(1).write.mode("overwrite").parquet(s"${OracleDump.dir}/e02_lsh")
+      val exact = Ann.bruteForceTopK(vecs, vecs, 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val lsh = s.read.parquet(s"${OracleDump.dir}/e02_lsh")
+      val nExact = exact.count()
+      val nHits = exact.join(lsh, Seq("vec_id", "neighbor_id"), "left_semi").count()
+      val recallBp = math.floor(10000.0 * nHits / nExact).toLong
+      Seq((nExact, nHits, recallBp, recallBp >= 8000L))
+        .toDF("n_exact", "n_hits", "recall_bp", "meets_floor")
     }),
     "e03_cosine_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs (threshold on the rounded
@@ -250,7 +278,7 @@ object SparkEntry {
       t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast(dec)).as("sum_qty"))
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
@@ -258,9 +286,11 @@ object SparkEntry {
         .orderBy(col("rflag"), col("lstatus"))
     }),
     "d08_simhash_groups" -> ((s, d) => {
-      // SimHash Hamming-block bucket histogram over documents (rows-only:
-      // token-TF SimHash is engine-side); the bucket-size distribution is
-      // the skew diagnostic the salting machinery consumes
+      // SimHash Hamming-block bucket histogram over documents; oracle = the
+      // same histogram from a sequential Scala pass, persisted for DuckDB
+      // (checks the distributed explode/groupBy plumbing); the bucket-size
+      // distribution is the skew diagnostic the salting machinery consumes
+      OracleDump.simhashHistExpected(s, t(s, d, "documents"), s"${OracleDump.dir}/d08")
       t(s, d, "documents")
         .select(explode(simhash_block_keys(simhash64(col("text")))).as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("group_size"))
@@ -269,12 +299,16 @@ object SparkEntry {
     }),
     // ------------------------------------------- the dedup pipeline itself
     "p01_dedup_assignments" -> ((s, _) => {
+      // flagship gate: pipeline assignments vs the persisted brute-force
+      // oracle (independent O(n²) evaluation of the same frozen predicate)
+      OracleDump.dedupAssignExpected(s, 1000, s"${OracleDump.dir}/p01")
       val clips = CorpusGen.clips(s, 1000).toDF()
       DedupPipeline.run(clips, DedupConfig.default)
         .select(col("clip_id"), col("cluster"), col("rep_clip_id"), col("is_rep"))
         .orderBy(col("clip_id"))
     }),
     "p02_dedup_survivors" -> ((s, _) => {
+      OracleDump.dedupSurvivorsExpected(s, 1000, s"${OracleDump.dir}/p02")
       val clips = CorpusGen.clips(s, 1000).toDF()
       val assign = DedupPipeline.run(clips, DedupConfig.default)
       DedupPipeline.dedupOutput(clips, assign)
@@ -283,16 +317,57 @@ object SparkEntry {
     }),
     "p03_audio_stats" -> ((s, _) => {
       // multimodal lane: decode opaque binary audio per codec, aggregate
-      // signal features (rows-only: engine-side G.711/PCM decoders)
+      // signal features. Oracle = plain-Scala sequential encode->decode->RMS
+      // over the same corpus, persisted for DuckDB. min/max (not avg) keep
+      // the floats free of summation-order effects.
+      OracleDump.audioStatsExpected(s, 500, s"${OracleDump.dir}/p03")
       val clips = CorpusGen.clips(s, 500).toDF()
-      clips.select(col("codec"), col("sr_hz"),
+      clips.select(col("codec"),
           size(pcm_decode(col("bytes"), col("codec"))).as("n_samples"),
           audio_rms(col("bytes"), col("codec")).as("rms"))
         .groupBy(col("codec"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_samples")).as("total_samples"),
-          round(avg(col("rms")), 1).as("avg_rms"))
+          min(col("rms")).as("min_rms"),
+          max(col("rms")).as("max_rms"))
         .orderBy(col("codec"))
+    }),
+    "s01_stream_window" -> ((s, d) => {
+      // Structured Streaming product surface (C11): file-source stream over
+      // the events table, event-time tumbling window + watermark, per-window
+      // count and top user via the Misra-Gries sketch aggregate running
+      // across micro-batches (partial buffers merged by the streaming agg).
+      // AvailableNow drains the bounded input and terminates; complete mode
+      // emits every window (append would hold back windows the final
+      // watermark never closes).
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = t(s, d, "events").schema
+      // the file stream source lists a DIRECTORY; the sf table is a single
+      // parquet file, so stage a link/copy of it under a stream dir
+      val streamDir = java.nio.file.Paths.get(s"${OracleDump.dir}/s01_events_src")
+      java.nio.file.Files.createDirectories(streamDir)
+      val target = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(target))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), target)
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val agg = stream
+        // watermarks require TIMESTAMP; the parquet ts is TIMESTAMP_NTZ and
+        // the session tz is UTC, so the hop is exact
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          freq_sketch_topk(col("user_id"), 4096, 1L).as("hh"))
+      val sink = "s01_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sink)
+        .select(col("w.start").cast("timestamp").cast("double").as("ws_epoch"),
+          col("n_events"),
+          element_at(col("hh"), 1).getField("key").as("top_user"))
+        .orderBy(col("ws_epoch"))
     })
   )
 
@@ -314,17 +389,93 @@ object SparkEntry {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replication of [[graft.text.TextFeatures.qualityScore]] +
+    * languageId — same formulas with IDENTICAL floating-point op order
+    * (left-assoc mul-then-div, same parenthesization, same add order), so
+    * both engines produce bit-identical doubles and the q >= 0.5 filter
+    * selects identical rows. */
+  private val d06Sql: String = {
+    val allWords = graft.text.TextFeatures.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString(",")
+    def score(ws: Seq[String]) =
+      s"len(list_filter(toks, x -> x in (${ws.map(w => s"'$w'").mkString(",")})))"
+    val bl = graft.text.TextFeatures.langStopwords.map { case (l, ws) => l -> score(ws) }.toMap
+    s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+       |tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+       |sc AS (SELECT doc_id,
+       |  least(1.0, len(toks) / 50.0) AS len_score,
+       |  CASE WHEN length(norm) = 0 THEN 0.0 ELSE
+       |    greatest(0.0, 1.0 - 4.0 * (CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE) / length(norm))) END AS punct_score,
+       |  least(1.0, (4.0 * len(list_filter(toks, x -> x in ($allWords)))) / greatest(1, len(toks))) AS stop_score,
+       |  CASE WHEN len(toks) > 0 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS wl_score,
+       |  length(norm) AS nlen,
+       |  ${bl("en")} AS s_en, ${bl("de")} AS s_de, ${bl("fr")} AS s_fr, ${bl("es")} AS s_es
+       | FROM tk),
+       |qq AS (SELECT doc_id,
+       |  CASE WHEN nlen = 0 THEN 0.0 ELSE 0.25 * (len_score + punct_score + stop_score + wl_score) END AS q,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |       WHEN s_es > 0 THEN 'es'
+       |       ELSE 'und' END AS pred_lang
+       | FROM sc)
+       |SELECT doc_id, q, pred_lang FROM qq WHERE q >= 0.5 ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // ---- engine-side semantics, oracled via persisted expected parquet
+    // (computed by the independent brute-force/sequential reference path,
+    // see OracleDump) which the driver's DuckDB reads back
+    "p01_dedup_assignments" ->
+      s"""SELECT clip_id, cluster, rep_clip_id, is_rep
+         |FROM read_parquet('${OracleDump.dir}/p01/*.parquet') ORDER BY clip_id""".stripMargin,
+    "p02_dedup_survivors" ->
+      s"""SELECT clip_id, sr_hz, dur_ms, codec
+         |FROM read_parquet('${OracleDump.dir}/p02/*.parquet') ORDER BY clip_id""".stripMargin,
+    "p03_audio_stats" ->
+      s"""SELECT codec, n, total_samples, min_rms, max_rms
+         |FROM read_parquet('${OracleDump.dir}/p03/*.parquet') ORDER BY codec""".stripMargin,
+    "d03_minhash_clusters" ->
+      s"""SELECT doc_id, cluster, is_rep
+         |FROM read_parquet('${OracleDump.dir}/d03/*.parquet') ORDER BY doc_id""".stripMargin,
+    "d08_simhash_groups" ->
+      s"""SELECT group_size, n_groups
+         |FROM read_parquet('${OracleDump.dir}/d08/*.parquet') ORDER BY group_size""".stripMargin,
+    "e02_knn_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ranked AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.emb, b.emb), 3) DESC, b.vec_id) AS rank
+         |  FROM v a CROSS JOIN v b WHERE a.vec_id != b.vec_id),
+         |exact AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3),
+         |lsh AS (SELECT vec_id, neighbor_id FROM read_parquet('${OracleDump.dir}/e02_lsh/*.parquet')),
+         |c AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |             (SELECT count(*) FROM exact e JOIN lsh l USING (vec_id, neighbor_id)) AS n_hits)
+         |SELECT n_exact, n_hits,
+         |  CAST(floor((10000.0 * n_hits) / n_exact) AS BIGINT) AS recall_bp,
+         |  (floor((10000.0 * n_hits) / n_exact) >= 8000) AS meets_floor
+         |FROM c""".stripMargin,
+    "d06_quality_score" -> d06Sql,
+    "s01_stream_window" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, user_id, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY h) AS BIGINT) AS n_events,
+        |        row_number() OVER (PARTITION BY h ORDER BY cnt DESC, user_id) AS rn
+        |      FROM c)
+        |SELECT epoch(h) AS ws_epoch, n_events, user_id AS top_user
+        |FROM r WHERE rn = 1 ORDER BY ws_epoch""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_topn_revenue" ->
       """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q03_join_agg" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -361,7 +512,7 @@ object SparkEntry {
       """SELECT s_suppkey, (SELECT count(*) FROM lineitem WHERE l_suppkey = s_suppkey) AS cnt
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q11_sessions" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, ts,
@@ -406,7 +557,7 @@ object SparkEntry {
     "q15_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus, count(*) AS cnt,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
     "e03_cosine_neardup" ->

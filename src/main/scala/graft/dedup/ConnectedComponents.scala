@@ -80,9 +80,13 @@ object ConnectedComponents {
     * the vertex set is fixed, so the sum is strictly decreasing until the
     * fixpoint: sum unchanged ⟺ no label changed. One cheap scan-agg job on
     * checkpointed partitions instead of a join+count shuffle per round. */
-  def labelSum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("label").cast(DecimalType(38, 0))))
+  def labelSum(labels: DataFrame): java.math.BigDecimal = {
+    // coalesce: a global sum over ZERO rows is NULL in Spark — an empty
+    // edge set (corpus with no duplicates) must converge, not NPE
+    val d = labels.agg(sum(col("label").cast(DecimalType(38, 0))))
       .collect()(0).getDecimal(0)
+    if (d == null) java.math.BigDecimal.ZERO else d
+  }
 
   /** @param edges DataFrame with long columns (a, b) — undirected unique pairs.
     * @return DataFrame (id: Long, label: Long) — label = min id in component.
