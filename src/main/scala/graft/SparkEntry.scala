@@ -128,6 +128,22 @@ object SparkEntry {
           countmin_estimate(col("sk"), col("s_suppkey")).as("cnt"))
         .orderBy(col("s_suppkey"))
     }),
+    "q16_countmin_bounds" -> ((s, d) => {
+      // conservative-update CountMin (Estan-Varghese) with the bounds
+      // surface (reference CountMin.java:98-113,143-179). The sketch is
+      // aggregated once, collected (one ~KB-scale value), and inlined as a
+      // LITERAL: the probe side then decodes it once per task instead of
+      // once per row — the plan shape for sketch-point-lookup at scale.
+      val bytes = t(s, d, "lineitem")
+        .agg(countmin_sketch(col("l_suppkey"), 0.0005, 0.01, conservative = true).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      t(s, d, "supplier")
+        .select(col("s_suppkey"),
+          countmin_estimate(lit(bytes), col("s_suppkey")).as("est"),
+          countmin_lower(lit(bytes), col("s_suppkey")).as("lb"),
+          countmin_upper(lit(bytes), col("s_suppkey")).as("ub"))
+        .orderBy(col("s_suppkey"))
+    }),
     "q11_sessions" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
@@ -511,6 +527,17 @@ object SparkEntry {
     "q10_countmin_point" ->
       """SELECT s_suppkey, (SELECT count(*) FROM lineitem WHERE l_suppkey = s_suppkey) AS cnt
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q16_countmin_bounds" ->
+      // 100 distinct suppliers vs 4000 columns: no cell collisions, so the
+      // (conservative) estimate is exactly the true count, ub = est, and
+      // lb = est - ceil(eps * streamLength) clamped at zero
+      """WITH tot AS (SELECT CAST(ceil(0.0005 * count(*)) AS BIGINT) AS maxerr FROM lineitem),
+        |c AS (SELECT s_suppkey,
+        |        (SELECT count(*) FROM lineitem WHERE l_suppkey = s_suppkey) AS cnt
+        |      FROM supplier)
+        |SELECT s_suppkey, cnt AS est,
+        |       greatest(0, cnt - (SELECT maxerr FROM tot)) AS lb, cnt AS ub
+        |FROM c ORDER BY s_suppkey""".stripMargin,
     "q11_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,

@@ -37,25 +37,31 @@ object Ann {
   }
 
   /** LSH-bucketed top-k: `tables` independent hyperplane signatures; vectors
-    * sharing any table's bucket are candidates. */
+    * sharing any table's bucket are candidates.
+    *
+    * Plan shape (the 100 TB path): ONE scan of the vectors emits all table
+    * signatures (array + posexplode) — not `tables` unioned re-scans; the
+    * bucket self-join and the multi-table dedup run on bare id PAIRS
+    * (16 bytes/row) and the embeddings are re-attached only to the deduped
+    * candidate set — the earlier shape shuffled two full embedding vectors
+    * through the distinct. */
   def lshTopK(vectors: DataFrame, k: Int, planesPerTable: Int = 8,
               tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val spark = vectors.sparkSession
-    val sigs = (0 until tables).map { t =>
-      vectors.select(
-        col("vec_id"), col("embedding"),
-        lit(t).as("table"),
-        hyperplane_sig(col("embedding"), planesPerTable, seed + t).as("bucket"))
-    }.reduce(_ union _)
-    val a = sigs.select(col("table"), col("bucket"), col("vec_id"), col("embedding").as("a_emb"))
-    val b = sigs.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("b_emb"))
+    val sigCols = (0 until tables).map(t =>
+      hyperplane_sig(col("embedding"), planesPerTable, seed + t))
+    val sigs = vectors.select(col("vec_id"),
+      posexplode(array(sigCols: _*)).as(Seq("table", "bucket")))
+    val a = sigs.select(col("table"), col("bucket"), col("vec_id"))
+    val b = sigs.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val cand = a.join(b, Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+      .distinct()
+    val embA = vectors.select(col("vec_id"), col("embedding").as("a_emb"))
+    val embB = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim_r3").desc, col("neighbor_id").asc)
-    a.join(b, Seq("table", "bucket"))
-      .where(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), col("a_emb"), col("b_emb"))
-      .distinct()
+    cand.join(embA, "vec_id").join(embB, "neighbor_id")
       .withColumn("sim_r3", round(cosine_sim(col("a_emb"), col("b_emb")), 3))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -95,20 +95,33 @@ object CandidatePairs {
     import spark.implicits._
     val cap = cfg.maxBucketSize
 
-    val hot = hotKeys(buckets, cap.toLong, cfg)
-    val saltsFor: Map[Long, Int] = hot.map { case (k, ub) =>
-      k -> math.max(2, math.min(MaxSalts, (ub / cap).toInt + 1))
-    }
-    val bcSalts = spark.sparkContext.broadcast(saltsFor)
+    // Hot-key salt counts delivered as a broadcast-JOINED DataFrame — no
+    // driver-side map sized by the hot-key count (at 10^12 rows an
+    // adversarial corpus makes that a driver OOM), no per-row UDF. The
+    // exact path never leaves the executors; the sketch path still collects
+    // only O(k) sketch bytes. Salt formula unchanged from the collected-map
+    // version: ceil-ish ub/cap clamped to [2, MaxSalts].
+    val saltCount = greatest(lit(2L),
+      least(lit(MaxSalts.toLong), ($"ub" / cap).cast("long") + 1L)).cast("int").as("salts")
+    val saltsDf =
+      if (cfg.sketchHotKeys)
+        hotKeysSketch(buckets, cap.toLong).toSeq.toDF("key", "ub")
+          .select($"key", saltCount)
+      else
+        buckets.groupBy($"key").count().where($"count" >= cap.toLong)
+          .select($"key", $"count".as("ub"))
+          .select($"key", saltCount)
 
-    val saltOf = udf { (key: Long, id: Long) =>
-      val s = bcSalts.value.getOrElse(key, 1)
-      if (s <= 1) 0 else (Math.floorMod(graft.core.Murmur3.hashLong(id, key), s.toLong)).toInt
-    }
+    // pmod(murmur(id, key), salts) = the old Math.floorMod salt assignment
+    // (identical values — determinism checksum preserved)
+    val salted = buckets.toDF()
+      .join(broadcast(saltsDf), Seq("key"), "left")
+      .withColumn("salt", when($"salts".isNull, lit(0)).otherwise(
+        pmod(graft.functions.GraftFunctions.murmur3_pair($"id", $"key"),
+          $"salts".cast("long")).cast("int")))
 
-    val salted = buckets
-      .withColumn("salt", saltOf($"key", $"id"))
-      .select($"key", $"salt".cast("int").as("salt"), $"lane", $"id")
+    val saltedTyped = salted
+      .select($"key", $"salt", $"lane", $"id")
       .as[(Long, Int, Int, Long)]
 
     // pairs within each (key, salt, lane) group: typed groupByKey +
@@ -118,7 +131,7 @@ object CandidatePairs {
     // jstack sampling at local[32].) Groups are bounded by construction:
     // cold keys have < cap rows, hot keys are salted into ~cap-sized
     // sub-buckets, so the per-group id array is O(cap).
-    val within = salted
+    val within = saltedTyped
       .groupByKey { case (key, salt, lane, _) => (key, salt, lane) }
       .flatMapGroups { (k: (Long, Int, Int), rows: Iterator[(Long, Int, Int, Long)]) =>
         val lane = k._3
@@ -131,9 +144,8 @@ object CandidatePairs {
     // (key, lane, salt) via a map-side-combinable primitive hash agg (the
     // input is the full bucket set but the output is hot-keys-only, tiny),
     // then per-(key, lane) chains over the salt-ordered reps.
-    val isHot = udf((k: Long) => bcSalts.value.contains(k))
-    val chains = salted.toDF("key", "salt", "lane", "id")
-      .where(isHot($"key"))
+    val chains = salted
+      .where($"salts".isNotNull)
       .groupBy($"key", $"lane", $"salt")
       .agg(min($"id").as("minId"))
       .groupBy($"key", $"lane")

@@ -98,7 +98,12 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val jumped = step(sym, labels).localCheckpoint(true)
+      // LAZY localCheckpoint: the labelSum action below is what computes the
+      // round — it materializes + caches the partitions and truncates the
+      // lineage in the SAME job. The previous eager checkpoint ran a
+      // dedicated job per round, doubling the serial driver round-trips the
+      // scaling-efficiency profile showed between CC rounds.
+      val jumped = step(sym, labels).localCheckpoint(false)
       val s = labelSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -192,6 +192,19 @@ object GraftFunctions {
     override def prettyName: String = "graft_hash_id"
   }
 
+  /** murmur3_pair(value, seed): seeded 64-bit hash of a long pair — the
+    * salting hash (sub-bucket assignment of a hot key's members), as a
+    * native expression so salting needs no UDF and no driver-side state. */
+  case class Murmur3Pair(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      graft.core.Murmur3.hashLong(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Murmur3Pair =
+      copy(l, r)
+    override def prettyName: String = "graft_murmur3_pair"
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** lang_id(text): stopword-scored language guess (SQL-replicable). */
@@ -390,6 +403,7 @@ object GraftFunctions {
   def is_dup_fast(a: Column, b: Column, sa: Column, sb: Column): Column =
     col(IsDupFast(ex(a), ex(b), ex(sa), ex(sb)))
   def hash_id(c: Column): Column = col(HashId(ex(c)))
+  def murmur3_pair(a: Column, b: Column): Column = col(Murmur3Pair(ex(a), ex(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def pcm_decode(bytes: Column, codec: Column): Column = col(PcmDecode(ex(bytes), ex(codec)))
   def audio_rms(bytes: Column, codec: Column): Column = col(AudioRms(ex(bytes), ex(codec)))
@@ -419,6 +433,7 @@ object GraftFunctions {
     one("graft_jaccard_shingles", es => JaccardShingles(es(0), es(1)))
     one("graft_is_dup_pair", es => IsDupPair(es(0), es(1), es(2), es(3)))
     one("graft_hash_id", es => HashId(es.head))
+    one("graft_murmur3_pair", es => Murmur3Pair(es(0), es(1)))
     one("graft_text_signatures", es => TextSignatures(es.head))
     one("graft_jaccard_ge", es => JaccardGe(es(0), es(1)))
     one("graft_is_dup_fast", es => IsDupFast(es(0), es(1), es(2), es(3)))

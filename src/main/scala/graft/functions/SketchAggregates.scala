@@ -74,13 +74,23 @@ object SketchAggregates {
     override def prettyName: String = "graft_freq_sketch_topk"
   }
 
-  /** countmin_sketch(keyCol, eps, delta): CountMin as a mergeable binary
-    * buffer (linear sketch: merge = elementwise add, CountMin.java:190-200);
-    * query the result with [[CountMinEstimate]]. */
+  /** countmin_sketch(keyCol, eps, delta[, conservative]): CountMin as a
+    * mergeable binary buffer (linear sketch: merge = elementwise add,
+    * CountMin.java:190-200); query the result with [[CountMinEstimate]] /
+    * [[CountMinLower]] / [[CountMinUpper]].
+    *
+    * `conservative = true` applies the Estan-Varghese conservative update
+    * (CountMin.java:98-113) on the per-row path: each touched cell rises
+    * only to estimate+inc, tightening overestimates. Partial buffers still
+    * merge by elementwise add — the merged table can exceed what a
+    * single-pass conservative sketch would hold, but never drops below the
+    * true count, so the never-underestimate contract and the ±εn bound are
+    * preserved under distributed aggregation. */
   case class CountMinAgg(
       child: Expression,
       eps: Double,
       delta: Double,
+      conservative: Boolean = false,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CountMin] {
@@ -89,7 +99,10 @@ object SketchAggregates {
 
     override def update(buffer: CountMin, input: InternalRow): CountMin = {
       val v = child.eval(input)
-      if (v != null) buffer.update(v.asInstanceOf[Long])
+      if (v != null) {
+        if (conservative) buffer.conservativeUpdate(v.asInstanceOf[Long])
+        else buffer.update(v.asInstanceOf[Long])
+      }
       buffer
     }
 
@@ -111,16 +124,90 @@ object SketchAggregates {
     override def prettyName: String = "graft_countmin_sketch"
   }
 
+  /** Per-task single-entry cache of the decoded sketch. A probe query
+    * evaluates the point-estimate expression once per PROBE ROW, but the
+    * sketch bytes are almost always the same value (a broadcast aggregate
+    * result) — re-parsing 8·rows·cols bytes per row dominated q10-shaped
+    * plans. Keyed by (length, two independent 64-bit content hashes):
+    * the byte-array INSTANCE differs per row (UnsafeRow.getBinary copies),
+    * so identity can't key the cache; a 128-bit content key has collision
+    * odds ~2^-64 per distinct-sketch pair (same contract as the documented
+    * shingle memo, TextFeatures.scala:224). Hashing is a single multiply-add
+    * pass vs deserialize's parse + 2x allocation + GC pressure. */
+  private final class DecodedSketchCache extends Serializable {
+    @transient private var len: Int = -1
+    @transient private var h1: Long = 0L
+    @transient private var h2: Long = 0L
+    @transient private var value: CountMin = _
+    def get(bytes: Array[Byte]): CountMin = {
+      val k1 = graft.core.Murmur3.hashBytes(bytes, 0x6a09e667f3bcc908L)
+      val k2 = graft.core.Murmur3.hashBytes(bytes, 0xbb67ae8584caa73bL)
+      if (value == null || len != bytes.length || h1 != k1 || h2 != k2) {
+        value = CountMin.deserialize(bytes)
+        len = bytes.length; h1 = k1; h2 = k2
+      }
+      value
+    }
+  }
+
+  /** Base for point queries on a serialized CountMin: decode-once semantics
+    * via a foldable fast path (literal sketch bytes decode exactly once per
+    * task) or the content-keyed [[DecodedSketchCache]]. */
+  sealed trait CountMinQuery extends BinaryExpression with CodegenFallback {
+    @transient private lazy val cache = new DecodedSketchCache
+    @transient private lazy val foldableSketch: CountMin =
+      CountMin.deserialize(left.eval(InternalRow.empty).asInstanceOf[Array[Byte]])
+    protected def sketchOf(bytes: Any): CountMin =
+      if (left.foldable) foldableSketch
+      else cache.get(bytes.asInstanceOf[Array[Byte]])
+  }
+
   /** countmin_estimate(sketchBytes, key): point query on a serialized
     * CountMin (CountMin.java:131-141). */
   case class CountMinEstimate(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends CountMinQuery {
     override def dataType: DataType = LongType
     override def nullSafeEval(sketch: Any, key: Any): Any =
-      CountMin.deserialize(sketch.asInstanceOf[Array[Byte]]).estimate(key.asInstanceOf[Long])
+      sketchOf(sketch).estimate(key.asInstanceOf[Long])
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinEstimate =
       copy(l, r)
     override def prettyName: String = "graft_countmin_estimate"
+  }
+
+  /** countmin_lower(sketchBytes, key): deterministic lower bound
+    * est − ⌈ε·n⌉ clamped at 0 (CountMin.java:143-160). */
+  case class CountMinLower(left: Expression, right: Expression)
+      extends CountMinQuery {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(sketch: Any, key: Any): Any =
+      sketchOf(sketch).lowerBound(key.asInstanceOf[Long])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinLower =
+      copy(l, r)
+    override def prettyName: String = "graft_countmin_lower"
+  }
+
+  /** countmin_upper(sketchBytes, key): upper bound = the estimate itself
+    * (CountMin never underestimates, CountMin.java:162-171). */
+  case class CountMinUpper(left: Expression, right: Expression)
+      extends CountMinQuery {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(sketch: Any, key: Any): Any =
+      sketchOf(sketch).upperBound(key.asInstanceOf[Long])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinUpper =
+      copy(l, r)
+    override def prettyName: String = "graft_countmin_upper"
+  }
+
+  /** countmin_maxerror(sketchBytes): ⌈ε·streamLength⌉
+    * (CountMin.java:173-179). */
+  case class CountMinMaxError(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    @transient private lazy val cache = new DecodedSketchCache
+    override def dataType: DataType = LongType
+    override def nullSafeEval(sketch: Any): Any =
+      cache.get(sketch.asInstanceOf[Array[Byte]]).maxError
+    override protected def withNewChildInternal(c: Expression): CountMinMaxError = copy(c)
+    override def prettyName: String = "graft_countmin_maxerror"
   }
 
   // ------------------------------------------------------------ Column API
@@ -129,11 +216,23 @@ object SketchAggregates {
     ColumnBridge.column(
       FreqSketchAgg(ColumnBridge.expression(c), k, threshold).toAggregateExpression())
 
-  def countmin_sketch(c: Column, eps: Double, delta: Double): Column =
+  def countmin_sketch(c: Column, eps: Double, delta: Double,
+                      conservative: Boolean = false): Column =
     ColumnBridge.column(
-      CountMinAgg(ColumnBridge.expression(c), eps, delta).toAggregateExpression())
+      CountMinAgg(ColumnBridge.expression(c), eps, delta, conservative).toAggregateExpression())
 
   def countmin_estimate(sketch: Column, key: Column): Column =
     ColumnBridge.column(
       CountMinEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
+
+  def countmin_lower(sketch: Column, key: Column): Column =
+    ColumnBridge.column(
+      CountMinLower(ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
+
+  def countmin_upper(sketch: Column, key: Column): Column =
+    ColumnBridge.column(
+      CountMinUpper(ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
+
+  def countmin_maxerror(sketch: Column): Column =
+    ColumnBridge.column(CountMinMaxError(ColumnBridge.expression(sketch)))
 }

@@ -65,6 +65,46 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("conservative countmin agg + bounds expressions: lb <= true <= ub = est") {
+    import spark.implicits._
+    val rng = Rng(10, 10)
+    val data = Array.fill(30000)(rng.nextZipf(300, 0.9).toLong)
+    val df = spark.createDataset(data.toSeq).repartition(8).toDF("key")
+    val exact = df.groupBy($"key").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eps = 0.001
+    // conservative=true through the distributed partial/merge path
+    val bytes = df.agg(countmin_sketch($"key", eps, 0.01, conservative = true).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val plainBytes = df.agg(countmin_sketch($"key", eps, 0.01).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val keys = spark.createDataset(exact.keys.toSeq).toDF("k")
+    // literal sketch => foldable decode-once path; lb/ub/est in one pass
+    val rows = keys.select($"k",
+        countmin_estimate(lit(bytes), $"k").as("est"),
+        countmin_lower(lit(bytes), $"k").as("lb"),
+        countmin_upper(lit(bytes), $"k").as("ub"),
+        countmin_estimate(lit(plainBytes), $"k").as("plain"),
+        countmin_maxerror(lit(bytes)).as("maxerr"))
+      .collect()
+    val maxErr = math.ceil(eps * data.length).toLong
+    rows.foreach { r =>
+      val (k, est, lb, ub, plain, me) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val c = exact(k)
+      assert(est >= c, s"conservative CM underestimated $k")
+      assert(est <= plain, s"conservative worse than plain for $k")
+      assert(lb <= c && c <= ub, s"bounds [$lb,$ub] miss true $c for $k")
+      assert(lb == math.max(0L, est - maxErr) && ub == est && me == maxErr)
+    }
+    // the non-foldable (content-cached) path returns identical values
+    val sk = df.agg(countmin_sketch($"key", eps, 0.01, conservative = true).as("sk"))
+    val viaJoin = keys.crossJoin(sk)
+      .select($"k", countmin_estimate($"sk", $"k").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(viaJoin(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("audio expressions: decode round-trip, rms, per-row SNR invariant") {
     import spark.implicits._
     val n = 50
