@@ -136,6 +136,14 @@ object Bench {
       override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+        if (jobLog) {
+          val m = e.stageInfo.taskMetrics
+          System.err.println(f"STAGE ${e.stageInfo.stageId}%4d tasks=${e.stageInfo.numTasks}%3d " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.2f run=${m.executorRunTime / 1e3}%7.2f " +
+            f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fM out=${m.outputMetrics.bytesWritten / 1e6}%6.1fM " +
+            f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM " +
+            f"spill=${m.diskBytesSpilled / 1e6}%6.1fM  ${e.stageInfo.name.take(70)}")
+        }
       }
     })
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
@@ -146,6 +154,10 @@ object Bench {
     val clips = spark.read.parquet(corpusPath)
     def once(): (Double, Long) = {
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint RDDs (CC rounds) live outside the SQL cache manager;
+      // without this they accumulate across iterations and masquerade as
+      // workload GC pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val checksum = assignmentChecksum(DedupPipeline.run(clips, DedupConfig.default))
       ((System.nanoTime() - t0) / 1e9, checksum)

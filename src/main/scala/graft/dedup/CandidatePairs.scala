@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.core.DedupConfig
 import graft.sketch.FreqSketch
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucket → candidate-pair expansion with explicit skew handling.
@@ -89,74 +89,110 @@ object CandidatePairs {
     * pairs with the OR of the lane bits that produced them — verification
     * then evaluates only the predicate clause(s) whose lane emitted a pair
     * (a jaccard check is pointless for a pair only the SimHash-block lane
-    * produced, and vice versa). */
+    * produced, and vice versa).
+    *
+    * Data-motion layout (the profile that drove it, BENCH r2 stage table):
+    *  - the bucket table is materialized ONCE as packed (bkey, id) rows —
+    *    lane index in the low 2 bits of the 64-bit key, so the wide shuffle
+    *    carries 2 longs/row instead of 4 fields (~40% fewer shuffle bytes);
+    *  - exact per-key counts are computed from that cache, and the SAME
+    *    broadcast join that delivers hot-key salt counts also drops
+    *    singleton buckets (count == 1) before the wide shuffle: a
+    *    single-member bucket can never emit a pair, and at bench scale ~2/3
+    *    of all bucket rows are singletons (random 64-bit band/fingerprint
+    *    keys). Dropping them is provably recall-neutral and cuts the
+    *    dominant shuffle + its sort CPU by the same factor;
+    *  - the broadcast side is O(#keys with count>=2). At 10^12-row scale
+    *    that can outgrow a broadcast: set `sketchHotKeys` and the pipeline
+    *    falls back to salts-only broadcast (O(#hot keys), bounded by
+    *    rows/cap) with no singleton drop — the documented extreme-scale
+    *    path. */
   def pairs(buckets: Dataset[Bucket], cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     val cap = cfg.maxBucketSize
 
-    // Hot-key salt counts delivered as a broadcast-JOINED DataFrame — no
-    // driver-side map sized by the hot-key count (at 10^12 rows an
-    // adversarial corpus makes that a driver OOM), no per-row UDF. The
-    // exact path never leaves the executors; the sketch path still collects
-    // only O(k) sketch bytes. Salt formula unchanged from the collected-map
-    // version: ceil-ish ub/cap clamped to [2, MaxSalts].
-    val saltCount = greatest(lit(2L),
-      least(lit(MaxSalts.toLong), ($"ub" / cap).cast("long") + 1L)).cast("int").as("salts")
-    val saltsDf =
-      if (cfg.sketchHotKeys)
-        hotKeysSketch(buckets, cap.toLong).toSeq.toDF("key", "ub")
-          .select($"key", saltCount)
-      else
-        buckets.groupBy($"key").count().where($"count" >= cap.toLong)
-          .select($"key", $"count".as("ub"))
-          .select($"key", saltCount)
+    // lane bit -> 2-bit index packed into the key's low bits (keyspaces are
+    // already lane-disjoint via the per-lane xor salt; the 2 bits lost to
+    // the shift are hash bits — a cross-bucket collision merges two buckets,
+    // which can only ADD candidates, all exactly verified downstream)
+    val laneIdx = when($"lane" === lit(1), lit(0L))
+      .when($"lane" === lit(2), lit(1L)).otherwise(lit(2L))
+    val packed = buckets.toDF()
+      .select(shiftleft($"key", 2).bitwiseOR(laneIdx).as("bkey"), $"id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // pmod(murmur(id, key), salts) = the old Math.floorMod salt assignment
-    // (identical values — determinism checksum preserved)
-    val salted = buckets.toDF()
-      .join(broadcast(saltsDf), Seq("key"), "left")
+    // salt count for a key with `cnt` members: ceil-ish cnt/cap in [2, MaxSalts]
+    def saltCount(cnt: Column): Column = greatest(lit(2L),
+      least(lit(MaxSalts.toLong), (cnt / cap).cast("long") + 1L)).cast("int")
+
+    // (bkey, salts) joined onto every bucket row. Exact path: one map-side-
+    // combined count from the bucket cache; inner join on count>=2 keys
+    // delivers salts AND drops singleton rows in the same broadcast probe.
+    // Sketch path: O(k) driver bytes, salts-only, left join (keeps all rows).
+    val salted =
+      if (cfg.sketchHotKeys) {
+        val saltsDf = hotKeysSketch(buckets, cap.toLong).toSeq.toDF("key", "ub")
+          .select(shiftleft($"key", 2).bitwiseOR(lit(0L)).as("bkey0"), $"ub")
+          // sketch keys carry no lane; rebuild the three packed variants
+          .select(explode(array(lit(0L), lit(1L), lit(2L))).as("li"), $"bkey0", $"ub")
+          .select($"bkey0".bitwiseOR($"li").as("bkey"), saltCount($"ub").as("salts"))
+        packed.join(broadcast(saltsDf), Seq("bkey"), "left")
+      } else {
+        val multi = packed.groupBy($"bkey").count().where($"count" >= 2L)
+          .select($"bkey",
+            when($"count" >= cap.toLong, saltCount($"count")).as("salts"))
+        packed.join(broadcast(multi), Seq("bkey"), "inner")
+      }
+
+    // pmod(murmur(id, bkey), salts) spreads a hot key's members over its
+    // salt groups deterministically (a pure function of the row — identical
+    // at any parallelism). skey re-mixes the salt into fresh high bits,
+    // keeping the lane index recoverable from the low 2 bits.
+    val withSkey = salted
       .withColumn("salt", when($"salts".isNull, lit(0)).otherwise(
-        pmod(graft.functions.GraftFunctions.murmur3_pair($"id", $"key"),
+        pmod(graft.functions.GraftFunctions.murmur3_pair($"id", $"bkey"),
           $"salts".cast("long")).cast("int")))
+      .withColumn("skey", when($"salt" === 0, $"bkey").otherwise(
+        graft.functions.GraftFunctions.murmur3_pair($"bkey", $"salt".cast("long"))
+          .bitwiseAND(lit(~3L)).bitwiseOR($"bkey".bitwiseAND(lit(3L)))))
 
-    val saltedTyped = salted
-      .select($"key", $"salt", $"lane", $"id")
-      .as[(Long, Int, Int, Long)]
-
-    // pairs within each (key, salt, lane) group: typed groupByKey +
-    // flatMapGroups — a sort-based shuffle that streams each group once.
-    // (The previous collect_list/ObjectHashAggregate version spent more task
-    // CPU in SizeEstimator graph walks than in pair expansion; measured via
+    // pairs within each skey group: typed groupByKey + flatMapGroups — a
+    // sort-based shuffle of 2-long rows that streams each group once.
+    // (The collect_list/ObjectHashAggregate alternative spent more task CPU
+    // in SizeEstimator graph walks than in pair expansion; measured via
     // jstack sampling at local[32].) Groups are bounded by construction:
     // cold keys have < cap rows, hot keys are salted into ~cap-sized
     // sub-buckets, so the per-group id array is O(cap).
-    val within = saltedTyped
-      .groupByKey { case (key, salt, lane, _) => (key, salt, lane) }
-      .flatMapGroups { (k: (Long, Int, Int), rows: Iterator[(Long, Int, Int, Long)]) =>
-        val lane = k._3
-        val ids = rows.map(_._4).toArray
+    val within = withSkey
+      .select($"skey", $"id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (skey: Long, rows: Iterator[(Long, Long)]) =>
+        val lane = 1 << (skey & 3L).toInt
+        val ids = rows.map(_._2).toArray
         expand(ids, cap).map { case (a, b) => (a, b, lane) }
       }
       .toDF("a", "b", "lane")
 
     // chain stitching across salt groups of the same hot key: min-id per
-    // (key, lane, salt) via a map-side-combinable primitive hash agg (the
-    // input is the full bucket set but the output is hot-keys-only, tiny),
-    // then per-(key, lane) chains over the salt-ordered reps.
-    val chains = salted
+    // (bkey, salt) via a map-side-combinable primitive hash agg over the
+    // hot rows only (the broadcast probe filters before the agg, so the
+    // shuffled partials are hot-keys-only, tiny), then per-bkey chains over
+    // the salt-ordered reps.
+    val chains = withSkey
       .where($"salts".isNotNull)
-      .groupBy($"key", $"lane", $"salt")
+      .groupBy($"bkey", $"salt")
       .agg(min($"id").as("minId"))
-      .groupBy($"key", $"lane")
+      .groupBy($"bkey")
       .agg(sort_array(collect_list(struct($"salt", $"minId"))).as("reps"))
-      .select($"lane", $"reps.minId".as[Array[Long]])
+      .select($"bkey".bitwiseAND(lit(3L)).cast("int").as("li"), $"reps.minId".as[Array[Long]])
       .as[(Int, Array[Long])]
-      .flatMap { case (lane, reps) =>
+      .flatMap { case (li, reps) =>
         if (reps.length < 2) Iterator.empty
         else Iterator.range(0, reps.length - 1).map { i =>
           val x = reps(i); val y = reps(i + 1)
-          (math.min(x, y), math.max(x, y), lane)
+          (math.min(x, y), math.max(x, y), 1 << li)
         }
       }
       .toDF("a", "b", "lane")

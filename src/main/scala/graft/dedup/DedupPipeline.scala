@@ -64,7 +64,12 @@ object DedupPipeline {
       // shorter rows can never produce a surviving containment edge, so
       // they are dropped before the bucket shuffle (their hamming/jaccard
       // dup pairs are still guaranteed by the SimHash-block pigeonhole and
-      // LSH band lanes respectively)
+      // LSH band lanes respectively). Caveat: this removes the fps lane's
+      // REDUNDANCY for short hamming-true pairs — if a hot SimHash-block
+      // bucket is window-capped (CandidatePairs caps bucket fan-out) and
+      // happens to miss such a pair, there is no fps fallback for it any
+      // more. Recall-gated: the skewed-fixture recall test must stay >=
+      // the gate whenever the cap or this floor changes.
       val src = if (bit == LaneFps) features.where(col("nlen") >= cfg.minContainLen)
                 else features
       src.select(explode(col(c)).as("k0"), col("id"))
@@ -97,6 +102,10 @@ object DedupPipeline {
       col("nsh").as("nsh_a"), col("nlen").as("nlen_a"))
     val slimB = features.select(col("id").as("b"), col("simhash").as("sim_b"),
       col("nsh").as("nsh_b"), col("nlen").as("nlen_b"))
+    // verdict flags are PROJECTED before the persist: the cached table
+    // carries (a, b, 3 booleans) — not the simhash/nsh/nlen columns the
+    // flags were computed from (the unprojected version cached ~6x the
+    // bytes and re-read them twice, a measured bandwidth hit at bench scale)
     val slim = cands.join(slimA, "a").join(slimB, "b")
       .withColumn("ham_ok",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= cfg.hammingMax)
@@ -111,6 +120,7 @@ object DedupPipeline {
       .withColumn("con_possible",
         (col("lane").bitwiseAND(lit(LaneFps)) =!= 0) &&
           least(col("nlen_a"), col("nlen_b")) >= cfg.minContainLen)
+      .select(col("a"), col("b"), col("ham_ok"), col("jac_possible"), col("con_possible"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val hamEdges = slim.where(col("ham_ok")).select(col("a"), col("b"))
