@@ -3,6 +3,7 @@ package graft
 import graft.core.DedupConfig
 import graft.dedup.DedupPipeline
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Plan auditor: prints the physical plans of the dedup pipeline stages so
   * scan pruning / pushdown / join strategies can be eyeballed (and so scale
@@ -40,11 +41,26 @@ object PlanAudit {
       Thread.sleep(500)
       println(f"MEASURE $tag in=${in.get / 1e6}%.1fM")
     }
-    measure("pruned-scan-count") { clips.selectExpr("clip_id", "length(transcript)").count() }
-    measure("features-count") { DedupPipeline.features(clips).count() }
-    val fc = DedupPipeline.features(clips).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    measure("features-cache-build") { fc.count() }
-    measure("features-cache-read") { fc.count() }
+    // the real pipeline shape: f persisted, then candidates — is the packed
+    // bucket cache actually used on the probe side of the salt join?
+    val fc = DedupPipeline.features(clips, DedupConfig.default)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fc.count()
+    val stageLog = new scala.collection.mutable.ArrayBuffer[String]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        stageLog += f"STAGE ${e.stageInfo.stageId}%4d tasks=${e.stageInfo.numTasks}%3d " +
+          f"cpu=${m.executorCpuTime / 1e9}%7.2f in=${m.inputMetrics.bytesRead / 1e6}%8.1fM " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM"
+      }
+    })
+    val assign = DedupPipeline.run(clips, DedupConfig.default)
+    val chk = assign.select(sum(crc32(concat_ws(",", col("clip_id"), col("rep_clip_id")))).as("c"))
+      .collect()(0).getLong(0)
+    println("==== checksum = " + chk)
+    Thread.sleep(500)
+    println(stageLog.mkString("\n"))
     spark.stop()
   }
 }

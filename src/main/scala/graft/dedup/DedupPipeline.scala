@@ -98,9 +98,23 @@ object DedupPipeline {
     */
   def verifiedEdges(features: DataFrame, cands: DataFrame,
                     cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val slimA = features.select(col("id").as("a"), col("simhash").as("sim_a"),
+    // narrow dedicated caches: the pair stream joins against these, and
+    // their small, ACCURATE cached size lets AQE flip the sort-merge joins
+    // to broadcast at bench scale — the pair stream then probes in place
+    // instead of being shuffled once per lookup side. (At 10^12 rows the
+    // same plans stay sort-merge joins: the decision is adaptive, not a
+    // hard-coded hint.) Before this split the lookups read the WIDE
+    // features cache (norm + bands + fps columns along for the ride) and
+    // the pair stream was exchanged with both norm strings attached —
+    // 667 MB of shuffle for 160k clips, the largest data motion in the
+    // whole pipeline.
+    val slimT = features.select(col("id"), col("simhash"), col("nsh"), col("nlen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val norms = features.select(col("id"), col("norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val slimA = slimT.select(col("id").as("a"), col("simhash").as("sim_a"),
       col("nsh").as("nsh_a"), col("nlen").as("nlen_a"))
-    val slimB = features.select(col("id").as("b"), col("simhash").as("sim_b"),
+    val slimB = slimT.select(col("id").as("b"), col("simhash").as("sim_b"),
       col("nsh").as("nsh_b"), col("nlen").as("nlen_b"))
     // verdict flags are PROJECTED before the persist: the cached table
     // carries (a, b, 3 booleans) — not the simhash/nsh/nlen columns the
@@ -125,19 +139,30 @@ object DedupPipeline {
 
     val hamEdges = slim.where(col("ham_ok")).select(col("a"), col("b"))
 
-    // only surviving non-hamming pairs ever join the transcript text
-    val need = slim.where(!col("ham_ok") && (col("jac_possible") || col("con_possible")))
-      .select(col("a"), col("b"), col("jac_possible"), col("con_possible"))
-    val normA = features.select(col("id").as("a"), col("norm").as("norm_a"))
-    val normB = features.select(col("id").as("b"), col("norm").as("norm_b"))
-    val withNorms = need.join(normA, "a").join(normB, "b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only surviving non-hamming pairs ever look at the transcript text —
+    // and they fetch it through the broadcast-able `norms` lookups above,
+    // so no per-pair norm strings are ever exchanged
+    val normA = norms.select(col("id").as("a"), col("norm").as("norm_a"))
+    val normB = norms.select(col("id").as("b"), col("norm").as("norm_b"))
 
-    val jacEdges = withNorms.where(col("jac_possible") &&
-      jaccard_ge(col("norm_a"), col("norm_b"))).select(col("a"), col("b"))
-    val conEdges = containmentEdges(withNorms.where(col("con_possible")), cfg)
+    // jaccard probe order: sorted by `a` within each partition so the
+    // shingle-set memo (TextFeatures.shingleMemo) gets a near-perfect hit
+    // rate on the a side — each distinct norm_a is shingled once per run
+    val jacEdges = slim.where(!col("ham_ok") && col("jac_possible"))
+      .select(col("a"), col("b"))
+      .sortWithinPartitions(col("a"))
+      .join(normA, "a").join(normB, "b")
+      .where(jaccard_ge(col("norm_a"), col("norm_b")))
+      .select(col("a"), col("b"))
+    val conEdges = containmentEdges(
+      slim.where(!col("ham_ok") && col("con_possible"))
+        .select(col("a"), col("b"))
+        .join(normA, "a").join(normB, "b"), cfg)
 
-    hamEdges.union(jacEdges).union(conEdges).distinct()
+    // a pair can pass both the jaccard and containment clauses — dedup the
+    // overlap; hamEdges are disjoint by the !ham_ok gate and internally
+    // unique (verdict rows are unique per pair)
+    hamEdges.union(jacEdges.union(conEdges).distinct())
   }
 
   /** The grouped suffix-array containment pass. Input rows carry
