@@ -55,12 +55,33 @@ object PlanAudit {
           f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fM sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fM"
       }
     })
-    val assign = DedupPipeline.run(clips, DedupConfig.default)
-    val chk = assign.select(sum(crc32(concat_ws(",", col("clip_id"), col("rep_clip_id")))).as("c"))
-      .collect()(0).getLong(0)
-    println("==== checksum = " + chk)
-    Thread.sleep(500)
-    println(stageLog.mkString("\n"))
+    // fps-hits distribution over the containment-eligible pair set, split by
+    // whether the containment predicate actually holds — quantifies what a
+    // hits>=2 gate would drop
+    val cfg = DedupConfig.default
+    val cands3 = DedupPipeline.candidates(fc, cfg)
+    val slimT = fc.select(col("id"), col("simhash"), col("nlen"))
+    val conNeed = cands3
+      .join(slimT.select(col("id").as("a"), col("simhash").as("sim_a"), col("nlen").as("nlen_a")), "a")
+      .join(slimT.select(col("id").as("b"), col("simhash").as("sim_b"), col("nlen").as("nlen_b")), "b")
+      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) > cfg.hammingMax)
+      .where((col("lane").bitwiseAND(lit(4)) =!= 0) &&
+        least(col("nlen_a"), col("nlen_b")) >= cfg.minContainLen)
+      .select(col("a"), col("b"), col("fps_hits"),
+        least(col("nlen_a"), col("nlen_b")).as("minlen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = fc.select(col("id"), col("norm"))
+    val withN = conNeed
+      .join(norms.select(col("id").as("a"), col("norm").as("norm_a")), "a")
+      .join(norms.select(col("id").as("b"), col("norm").as("norm_b")), "b")
+    val trueCon = DedupPipeline.containmentEdges(withN, cfg)
+      .withColumn("isCon", lit(true))
+    val dist = conNeed.join(trueCon, Seq("a", "b"), "left")
+      .groupBy(col("isCon").isNotNull.as("con"),
+        when(col("fps_hits") >= 3, lit(3)).otherwise(col("fps_hits")).as("hits"),
+        (col("minlen") >= 150).as("long"))
+      .count().orderBy(col("con"), col("hits"), col("long"))
+    dist.collect().foreach(r => println(s"CONDIST con=${r.get(0)} hits=${r.get(1)} long=${r.get(2)} n=${r.get(3)}"))
     spark.stop()
   }
 }

@@ -39,7 +39,19 @@ final case class DedupConfig(
       * under any partitioning, map-side-combined shuffle of distinct keys)
       * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,
       * but partition-dependent near the threshold). */
-    sketchHotKeys: Boolean = false
+    sketchHotKeys: Boolean = false,
+    /** minimum winnow-lane co-emissions for a pair to enter the substring-
+      * containment verification. Winnowing guarantees >= 2 shared selected
+      * fingerprints for a shared run >= winnowWindow + winnowK - 1 +
+      * winnowWindow chars (= 79 < minContainLen), so a true containment
+      * pair co-emits >= 2 barring hot-key salt splits; corpus-wide shared
+      * boilerplate (e.g. a common prefix) co-emits a few fingerprints on
+      * MILLIONS of non-duplicate pairs, and this gate is what keeps the
+      * exact suffix-array verification off them. Only meaningful with
+      * exact hot-key counts: under sketchHotKeys the salt counts (and so
+      * co-emission) are partition-dependent and the pipeline ignores the
+      * gate (treats it as 1). */
+    minFpsHits: Int = 2
 ) {
   require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
   require(64 % simhashBlocks == 0, "simhashBlocks must divide 64")

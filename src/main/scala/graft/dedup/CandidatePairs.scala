@@ -198,9 +198,15 @@ object CandidatePairs {
       .toDF("a", "b", "lane")
 
     // lane = OR of the lane bits that produced the pair (verification then
-    // evaluates only the clauses whose lane emitted it)
+    // evaluates only the clauses whose lane emitted it). fps_hits counts the
+    // winnow-lane CO-EMISSIONS of the pair: under exact hot-key detection
+    // every term (bucket membership, salt assignment, window adjacency) is a
+    // pure function of the data, so the count is parallelism-independent and
+    // safe to gate on. (Under sketchHotKeys the salt counts depend on
+    // partition-order merge error — the gate must not be used there.)
     within.union(chains).where($"a" =!= $"b")
       .groupBy($"a", $"b")
-      .agg(bit_or($"lane").as("lane"))
+      .agg(bit_or($"lane").as("lane"),
+        sum(when($"lane" === lit(4), 1L).otherwise(0L)).as("fps_hits"))
   }
 }

@@ -127,12 +127,15 @@ object DedupPipeline {
         (col("lane").bitwiseAND(lit(LaneBands)) =!= 0) &&
           least(col("nsh_a"), col("nsh_b")).cast("double") >=
             greatest(col("nsh_a"), col("nsh_b")) * cfg.jaccardThreshold)
-      // NOTE deliberately no fps_hits>=2 gate here: bucket multiplicities
-      // depend on sketch-driven salting, which varies with partitioning —
-      // gating on them would make the edge set parallelism-dependent.
-      // Membership in a lane (the bit) is partition-independent.
+      // fps_hits gate: under EXACT hot-key counts every co-emission term is
+      // a pure function of the data (bucket membership, salt = pmod(murmur),
+      // window adjacency), so the count is parallelism-independent and safe
+      // to gate on. Under sketchHotKeys the salt counts carry partition-
+      // order merge error — the gate is forced to 1 there to keep the edge
+      // set deterministic.
       .withColumn("con_possible",
         (col("lane").bitwiseAND(lit(LaneFps)) =!= 0) &&
+          col("fps_hits") >= (if (cfg.sketchHotKeys) 1 else cfg.minFpsHits) &&
           least(col("nlen_a"), col("nlen_b")) >= cfg.minContainLen)
       .select(col("a"), col("b"), col("ham_ok"), col("jac_possible"), col("con_possible"))
       .persist(StorageLevel.MEMORY_AND_DISK)
