@@ -40,20 +40,23 @@ object TextFeatures {
   def shingleSet(normalized: String, k: Int, seed: Long): Array[Long] = {
     val n = normalized.length
     if (n == 0) return Array.empty
-    val set = new mutable.LongMap[Unit]( math.max(8, n) )
-    if (n < k) {
-      set.update(Murmur3.hashRange(normalized, 0, n, seed), ())
-    } else {
-      var i = 0
-      val last = n - k
-      while (i <= last) {
-        set.update(Murmur3.hashRange(normalized, i, i + k, seed), ())
-        i += 1
-      }
+    if (n < k) return Array(Murmur3.hashRange(normalized, 0, n, seed))
+    // flat array + sort + in-place dedup: identical result to a hash-set
+    // build, but no per-insert probing, no boxed iterator, no second sort —
+    // stack sampling showed the LongMap build dominating the verification
+    // stage (this function runs once per non-memoized jaccard probe side)
+    val m = n - k + 1
+    val a = new Array[Long](m)
+    var i = 0
+    while (i < m) { a(i) = Murmur3.hashRange(normalized, i, i + k, seed); i += 1 }
+    java.util.Arrays.sort(a)
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (a(r) != a(w)) { w += 1; a(w) = a(r) }
+      r += 1
     }
-    val out = set.keysIterator.toArray
-    java.util.Arrays.sort(out)
-    out
+    if (w + 1 == m) a else java.util.Arrays.copyOf(a, w + 1)
   }
 
   /** Positional (non-distinct) shingle hashes, in text order — needed by
