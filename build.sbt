@@ -19,6 +19,9 @@ run / fork := true
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time" line so the forked
+// program's JSON line is the LAST thing on stdout.
+ThisBuild / showSuccess := false
 Global / excludeLintKeys += Compile / runMain / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
