@@ -23,6 +23,7 @@ Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // program's JSON line is the LAST thing on stdout.
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += Compile / runMain / outputStrategy
+Global / excludeLintKeys += ThisBuild / showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,6 +35,13 @@ final case class DedupConfig(
     seed: Long = 42L,
     /** cap on LSH bucket size before salted overflow handling (skew guard) */
     maxBucketSize: Int = 64,
+    /** max bucket-run ids buffered in the single-exchange pair generation
+      * before switching to the bounded-memory streaming expansion
+      * ([[graft.dedup.CandidatePairs]]). At the default cap*MaxSalts the
+      * streaming path's pinned salts=MaxSalts equals the exact saltCount
+      * (it saturates), so the emitted pairs stay a pure function of the
+      * data at ANY run length. */
+    runBufferCap: Int = 65536,
     /** hot-bucket detection: exact per-key counts (default — deterministic
       * under any partitioning, map-side-combined shuffle of distinct keys)
       * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,

@@ -91,60 +91,202 @@ object CandidatePairs {
     * (a jaccard check is pointless for a pair only the SimHash-block lane
     * produced, and vice versa).
     *
-    * Data-motion layout (the profile that drove it, BENCH r2 stage table):
-    *  - the bucket table is materialized ONCE as packed (bkey, id) rows —
-    *    lane index in the low 2 bits of the 64-bit key, so the wide shuffle
-    *    carries 2 longs/row instead of 4 fields (~40% fewer shuffle bytes);
-    *  - exact per-key counts are computed from that cache, and the SAME
-    *    broadcast join that delivers hot-key salt counts also drops
-    *    singleton buckets (count == 1) before the wide shuffle: a
-    *    single-member bucket can never emit a pair, and at bench scale ~2/3
-    *    of all bucket rows are singletons (random 64-bit band/fingerprint
-    *    keys). Dropping them is provably recall-neutral and cuts the
-    *    dominant shuffle + its sort CPU by the same factor;
-    *  - the broadcast side is O(#keys with count>=2). At 10^12-row scale
-    *    that can outgrow a broadcast: set `sketchHotKeys` and the pipeline
-    *    falls back to salts-only broadcast (O(#hot keys), bounded by
-    *    rows/cap) with no singleton drop — the documented extreme-scale
-    *    path. */
+    * Data-motion layout:
+    *  - bucket rows travel as packed (bkey, id) 2-long rows — lane index
+    *    in the low 2 bits of the 64-bit key;
+    *  - the exact path ([[pairsPackedExact]]) moves them through ONE
+    *    repartition-and-sort exchange and streams complete bucket runs per
+    *    partition — counts, singleton drop, salting, expansion and chain
+    *    stitching all happen inside that single pass;
+    *  - `sketchHotKeys` selects the extreme-scale variant
+    *    ([[pairsPackedSketch]]): Misra-Gries hot-key detection in O(k)
+    *    driver bytes + salts-only broadcast, for corpora where even exact
+    *    per-key counting is too much state. */
   def pairs(buckets: Dataset[Bucket], cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val spark = buckets.sparkSession
-    import spark.implicits._
-    import org.apache.spark.storage.StorageLevel
-    val cap = cfg.maxBucketSize
-
+    import buckets.sparkSession.implicits._
     // lane bit -> 2-bit index packed into the key's low bits (keyspaces are
     // already lane-disjoint via the per-lane xor salt; the 2 bits lost to
     // the shift are hash bits — a cross-bucket collision merges two buckets,
     // which can only ADD candidates, all exactly verified downstream)
     val laneIdx = when($"lane" === lit(1), lit(0L))
       .when($"lane" === lit(2), lit(1L)).otherwise(lit(2L))
-    val packed = buckets.toDF()
-      .select(shiftleft($"key", 2).bitwiseOR(laneIdx).as("bkey"), $"id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairsPacked(buckets.toDF()
+      .select(shiftleft($"key", 2).bitwiseOR(laneIdx).as("bkey"), $"id"), cfg)
+  }
+
+  /** [[pairs]] over an already-packed (bkey, id) bucket table — the
+    * production entry ([[DedupPipeline.candidates]] emits packed rows in
+    * its single pass over the features cache). */
+  def pairsPacked(packedIn: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame =
+    if (cfg.sketchHotKeys) pairsPackedSketch(packedIn, cfg)
+    else pairsPackedExact(packedIn, cfg)
+
+  /** Exact path: ONE exchange for the whole pair generation.
+    *
+    * `repartition(bkey) + sortWithinPartitions(bkey, id)` makes every
+    * bucket a contiguous sorted run inside exactly one partition; a single
+    * streaming pass over each partition then handles everything the old
+    * three-exchange flow (per-key count shuffle, salt-delivery broadcast
+    * join, salted data exchange, chain-stitch aggregation) did, with zero
+    * further data motion and no driver round-trip:
+    *
+    *  - singleton runs emit nothing (the old count>=2 semi-join for free);
+    *  - runs of 2..cap-1 ids emit all-pairs;
+    *  - runs of >= cap ids are salted into ceil(n/cap) (clamped [2,
+    *    MaxSalts]) groups by pmod(murmur(id, bkey), salts) — the same pure
+    *    per-row function as before, so the emitted pair set (and the
+    *    fps_hits co-emission counts the containment gate reads) is
+    *    byte-identical to the old flow and independent of partitioning —
+    *    each group expanded all-pairs/windowed, plus the chain pairs over
+    *    the salt-ordered group minima that keep a split bucket connected;
+    *  - runs longer than RunBuffer ids (~10^9-member buckets; cannot exist
+    *    below cap*MaxSalts rows) switch to a bounded-memory streaming mode:
+    *    salts saturates at MaxSalts (which is exact for any run this long),
+    *    per-salt sliding windows of the ascending id stream emit the same
+    *    windowed pairs, per-salt minima accumulate for the chains — O(
+    *    MaxSalts * Window) memory however large the bucket.
+    *
+    * The sort is the shuffle's own ordering work (2-long rows); at 10^12
+    * rows this is strictly less motion than the old flow shuffled for the
+    * count alone. */
+  private[dedup] def pairsPackedExact(packedIn: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = packedIn.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucketSize
+    val runBuffer = math.max(cap, cfg.runBufferCap)
+
+    val parts = packedIn
+      .repartition(col("bkey"))
+      .sortWithinPartitions(col("bkey"), col("id"))
+      .select(col("bkey"), col("id")).as[(Long, Long)]
+
+    val emitted = parts.mapPartitions { it0 =>
+      val it = it0.buffered
+
+      // one run = all rows of one bkey (contiguous, ids ascending)
+      def processRun(): Iterator[(Long, Long, Int)] = {
+        val bkey = it.head._1
+        val lane = 1 << (bkey & 3L).toInt
+        var arr = new Array[Long](16)
+        var n = 0
+        while (it.hasNext && it.head._1 == bkey && n < runBuffer) {
+          if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+          arr(n) = it.next()._2
+          n += 1
+        }
+        if (it.hasNext && it.head._1 == bkey) overflowRun(bkey, lane, arr, n)
+        else if (n < 2) Iterator.empty
+        else if (n < cap) expand(java.util.Arrays.copyOf(arr, n), cap)
+          .map { case (a, b) => (a, b, lane) }
+        else saltedRun(bkey, lane, arr, n)
+      }
+
+      /** count >= cap (old hot path): pmod-salted groups, window-capped
+        * expansion per group, chains over salt-ordered group minima. */
+      def saltedRun(bkey: Long, lane: Int, arr: Array[Long], n: Int): Iterator[(Long, Long, Int)] = {
+        val salts = math.max(2L, math.min(MaxSalts.toLong, n.toLong / cap + 1L)).toInt
+        val groups = Array.fill(salts)(new scala.collection.mutable.ArrayBuilder.ofLong)
+        var i = 0
+        while (i < n) {
+          val id = arr(i)
+          val h = graft.core.Murmur3.hashLong(id, bkey)
+          val s = ((h % salts) + salts) % salts
+          groups(s.toInt) += id
+          i += 1
+        }
+        val built = groups.map(_.result()) // each ascending (input sorted)
+        val pairsIt = built.iterator.flatMap { g =>
+          expand(g, cap).map { case (a, b) => (a, b, lane) }
+        }
+        val reps = built.iterator.filter(_.nonEmpty).map(_.head).toArray
+        val chainIt = Iterator.range(0, math.max(0, reps.length - 1)).map { j =>
+          val x = reps(j); val y = reps(j + 1)
+          (math.min(x, y), math.max(x, y), lane)
+        }
+        pairsIt ++ chainIt
+      }
+
+      /** count > RunBuffer: bounded-memory streaming variant. salts is
+        * pinned at MaxSalts (exact: saltCount saturates for any count >=
+        * cap*MaxSalts <= RunBuffer); groups always window-expand (their
+        * sizes are >> cap for any real overflow run). */
+      def overflowRun(bkey: Long, lane: Int, prefix: Array[Long], pn: Int): Iterator[(Long, Long, Int)] = {
+        val salts = MaxSalts
+        val win = Window - 1
+        val rings = Array.ofDim[Long](salts, win)
+        val counts = new Array[Long](salts)
+        val mins = new Array[Long](salts)
+        val seen = new Array[Boolean](salts)
+        val rest = new Iterator[Long] {
+          def hasNext: Boolean = it.hasNext && it.head._1 == bkey
+          def next(): Long = it.next()._2
+        }
+        val src = prefix.iterator.take(pn) ++ rest
+        val windowed = src.flatMap { id =>
+          val h = graft.core.Murmur3.hashLong(id, bkey)
+          val s = (((h % salts) + salts) % salts).toInt
+          if (!seen(s)) { seen(s) = true; mins(s) = id }
+          val c = counts(s)
+          val have = math.min(c, win.toLong).toInt
+          val ring = rings(s)
+          val out = Iterator.range(0, have).map { d =>
+            val prev = ring(((c - 1 - d) % win).toInt)
+            (math.min(prev, id), math.max(prev, id), lane)
+          }
+          ring((c % win).toInt) = id
+          counts(s) = c + 1
+          out
+        }
+        // chains built lazily AFTER the stream drains (++ is by-name)
+        def chains: Iterator[(Long, Long, Int)] = {
+          val reps = Iterator.range(0, salts).filter(seen(_)).map(mins(_)).toArray
+          Iterator.range(0, math.max(0, reps.length - 1)).map { j =>
+            val x = reps(j); val y = reps(j + 1)
+            (math.min(x, y), math.max(x, y), lane)
+          }
+        }
+        windowed ++ chains
+      }
+
+      new Iterator[Iterator[(Long, Long, Int)]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[(Long, Long, Int)] = processRun()
+      }.flatten
+    }.toDF("a", "b", "lane")
+
+    aggregatePairs(emitted)
+  }
+
+  /** Sketch path (the documented 10^12-row extreme: even the count>=2 key
+    * set outgrows a broadcast): Misra-Gries hot keys, O(k) driver bytes,
+    * salts-only broadcast, no singleton drop. */
+  private[dedup] def pairsPackedSketch(packedIn: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = packedIn.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val cap = cfg.maxBucketSize
+
+    val packed = packedIn.persist(StorageLevel.MEMORY_AND_DISK)
 
     // salt count for a key with `cnt` members: ceil-ish cnt/cap in [2, MaxSalts]
     def saltCount(cnt: Column): Column = greatest(lit(2L),
       least(lit(MaxSalts.toLong), (cnt / cap).cast("long") + 1L)).cast("int")
 
-    // (bkey, salts) joined onto every bucket row. Exact path: one map-side-
-    // combined count from the bucket cache; inner join on count>=2 keys
-    // delivers salts AND drops singleton rows in the same broadcast probe.
-    // Sketch path: O(k) driver bytes, salts-only, left join (keeps all rows).
-    val salted =
-      if (cfg.sketchHotKeys) {
-        val saltsDf = hotKeysSketch(buckets, cap.toLong).toSeq.toDF("key", "ub")
-          .select(shiftleft($"key", 2).bitwiseOR(lit(0L)).as("bkey0"), $"ub")
-          // sketch keys carry no lane; rebuild the three packed variants
-          .select(explode(array(lit(0L), lit(1L), lit(2L))).as("li"), $"bkey0", $"ub")
-          .select($"bkey0".bitwiseOR($"li").as("bkey"), saltCount($"ub").as("salts"))
-        packed.join(broadcast(saltsDf), Seq("bkey"), "left")
-      } else {
-        val multi = packed.groupBy($"bkey").count().where($"count" >= 2L)
-          .select($"bkey",
-            when($"count" >= cap.toLong, saltCount($"count")).as("salts"))
-        packed.join(broadcast(multi), Seq("bkey"), "inner")
-      }
+    // sketch directly over the packed keyspace (lanes are disjoint by
+    // construction, so per-bkey hotness IS per-(key,lane) hotness)
+    val partials: Array[Array[Byte]] = packed.select($"bkey").as[Long]
+      .mapPartitions { it =>
+        val sk = FreqSketch(4096)
+        it.foreach(k => sk.update(k))
+        Iterator.single(sk.serialize())
+      }.collect()
+    val merged = partials.foldLeft(FreqSketch(4096)) { (acc, bytes) =>
+      acc.merge(FreqSketch.deserialize(bytes))
+    }
+    val hot = merged.frequentKeys(cap.toLong).map { case (k, _, _, ub) => (k, ub) }
+    val saltsDf = hot.toSeq.toDF("bkey", "ub")
+      .select($"bkey", saltCount($"ub").as("salts"))
+    val salted = packed.join(broadcast(saltsDf), Seq("bkey"), "left")
 
     // pmod(murmur(id, bkey), salts) spreads a hot key's members over its
     // salt groups deterministically (a pure function of the row — identical
@@ -197,14 +339,19 @@ object CandidatePairs {
       }
       .toDF("a", "b", "lane")
 
-    // lane = OR of the lane bits that produced the pair (verification then
-    // evaluates only the clauses whose lane emitted it). fps_hits counts the
-    // winnow-lane CO-EMISSIONS of the pair: under exact hot-key detection
-    // every term (bucket membership, salt assignment, window adjacency) is a
-    // pure function of the data, so the count is parallelism-independent and
-    // safe to gate on. (Under sketchHotKeys the salt counts depend on
-    // partition-order merge error — the gate must not be used there.)
-    within.union(chains).where($"a" =!= $"b")
+    aggregatePairs(within.union(chains))
+  }
+
+  /** lane = OR of the lane bits that produced the pair (verification then
+    * evaluates only the clauses whose lane emitted it). fps_hits counts the
+    * winnow-lane CO-EMISSIONS of the pair: under exact hot-key detection
+    * every term (bucket membership, salt assignment, window adjacency) is a
+    * pure function of the data, so the count is parallelism-independent and
+    * safe to gate on. (Under sketchHotKeys the salt counts depend on
+    * partition-order merge error — the gate must not be used there.) */
+  private def aggregatePairs(emitted: DataFrame): DataFrame = {
+    import emitted.sparkSession.implicits._
+    emitted.where($"a" =!= $"b")
       .groupBy($"a", $"b")
       .agg(bit_or($"lane").as("lane"),
         sum(when($"lane" === lit(4), 1L).otherwise(0L)).as("fps_hits"))

@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.core.DedupConfig
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -54,28 +54,34 @@ object DedupPipeline {
     * key detection, salting, grouping, and dedup each run once instead of
     * three times — 1 sketch job + 1 shuffle instead of 3+3. */
   def candidates(features: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    import features.sparkSession.implicits._
-    val lanes = Seq(("bands", 0x9e3779b97f4a7c15L, LaneBands),
-      ("blocks", 0xc2b2ae3d27d4eb4fL, LaneBlocks),
-      ("fps", 0x165667b19e3779f9L, LaneFps))
-    val buckets = lanes.map { case (c, salt, bit) =>
-      // the winnowing lane only feeds the substring-containment clause,
-      // which requires both norms >= minContainLen — fingerprints of
-      // shorter rows can never produce a surviving containment edge, so
-      // they are dropped before the bucket shuffle (their hamming/jaccard
-      // dup pairs are still guaranteed by the SimHash-block pigeonhole and
-      // LSH band lanes respectively). Caveat: this removes the fps lane's
-      // REDUNDANCY for short hamming-true pairs — if a hot SimHash-block
-      // bucket is window-capped (CandidatePairs caps bucket fan-out) and
-      // happens to miss such a pair, there is no fps fallback for it any
-      // more. Recall-gated: the skewed-fixture recall test must stay >=
-      // the gate whenever the cap or this floor changes.
-      val src = if (bit == LaneFps) features.where(col("nlen") >= cfg.minContainLen)
-                else features
-      src.select(explode(col(c)).as("k0"), col("id"))
-        .select(col("k0").bitwiseXOR(lit(salt)).as("key"), col("id"), lit(bit).as("lane"))
-    }.reduce(_ union _).as[CandidatePairs.Bucket]
-    CandidatePairs.pairs(buckets, cfg)
+    // ONE pass over the features cache emits all three lanes' bucket rows
+    // already in packed form (lane index in the key's low 2 bits): a
+    // per-lane array transform + concat + a single explode. The previous
+    // three-branch union scanned the features cache once per lane and ran
+    // three separate exchanges-into-union — same bytes, 2 extra cache
+    // scans and 2 extra stage barriers per iteration.
+    def packLane(arr: Column, salt: Long, li: Int): Column =
+      transform(arr, k => shiftleft(k.bitwiseXOR(lit(salt)), 2).bitwiseOR(lit(li.toLong)))
+    // the winnowing lane only feeds the substring-containment clause,
+    // which requires both norms >= minContainLen — fingerprints of
+    // shorter rows can never produce a surviving containment edge, so
+    // they are dropped before the bucket shuffle (their hamming/jaccard
+    // dup pairs are still guaranteed by the SimHash-block pigeonhole and
+    // LSH band lanes respectively). Caveat: this removes the fps lane's
+    // REDUNDANCY for short hamming-true pairs — if a hot SimHash-block
+    // bucket is window-capped (CandidatePairs caps bucket fan-out) and
+    // happens to miss such a pair, there is no fps fallback for it any
+    // more. Recall-gated: the skewed-fixture recall test must stay >=
+    // the gate whenever the cap or this floor changes.
+    val fpsArr = when(col("nlen") >= cfg.minContainLen, col("fps"))
+      .otherwise(array().cast("array<bigint>"))
+    val packed = features.select(
+      explode(concat(
+        packLane(col("bands"), 0x9e3779b97f4a7c15L, 0),
+        packLane(col("blocks"), 0xc2b2ae3d27d4eb4fL, 1),
+        packLane(fpsArr, 0x165667b19e3779f9L, 2))).as("bkey"),
+      col("id"))
+    CandidatePairs.pairsPacked(packed, cfg)
   }
 
   /** Exact verification of candidate pairs. Each predicate clause is
@@ -168,11 +174,22 @@ object DedupPipeline {
     hamEdges.union(jacEdges.union(conEdges).distinct())
   }
 
-  /** The grouped suffix-array containment pass. Input rows carry
-    * (a, b, norm_a, norm_b); pairs are oriented container→contained, grouped
-    * by container id, and each group's candidates are searched in one
-    * suffix array of the container text (built lazily — groups with a
-    * single candidate use the direct scan, same result). */
+  /** The per-partition suffix-array containment pass. Input rows carry
+    * (a, b, norm_a, norm_b); pairs are oriented container→contained and
+    * sorted by container WITHIN each partition (no exchange — the norms
+    * arrive via the broadcast-able lookup joins upstream, so the pair
+    * stream is probed in place). Each partition is walked once: runs of
+    * equal container share one lazily-built suffix array of the container
+    * text (built on the run's 4th candidate — below that the direct scan
+    * is cheaper), so hot boilerplate containers amortize the build while
+    * singleton runs never pay it.
+    *
+    * The previous design exchanged the pairs `groupByKey(container)` to
+    * get perfect run grouping; that shuffle carried both norm strings per
+    * pair (195 MB at 160k clips — the pipeline's largest exchange) and was
+    * the top task-CPU stage. Partition-local runs give the same exact
+    * verdict per pair (the predicate is per-pair; grouping only affects
+    * amortization) with zero data motion. */
   def containmentEdges(slowCands: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = slowCands.sparkSession
     import spark.implicits._
@@ -181,28 +198,35 @@ object DedupPipeline {
       when(length(col("norm_a")) >= length(col("norm_b")), col("b")).otherwise(col("a")).as("contained"),
       when(length(col("norm_a")) >= length(col("norm_b")), col("norm_a")).otherwise(col("norm_b")).as("container_norm"),
       when(length(col("norm_a")) >= length(col("norm_b")), col("norm_b")).otherwise(col("norm_a")).as("contained_norm"))
-      // map-side sort by container before the grouping exchange: each
-      // container's norm is duplicated across its candidate rows, and with
-      // the duplicates adjacent the lz4 shuffle codec collapses them —
-      // measured 214 MB -> ~50 MB on the bench corpus (without the sort the
-      // compression ratio silently depended on partition count)
       .sortWithinPartitions(col("container"))
       .as[(Long, Long, String, String)]
-    oriented
-      .groupByKey(_._1)
-      .flatMapGroups { (containerId, rows) =>
-        val buf = rows.toArray
-        val containerNorm = buf.head._3
-        val sa = if (buf.length >= 4) SuffixArray.build(containerNorm) else null
-        buf.iterator
-          .filter { case (_, _, _, contained) =>
-            if (sa != null) sa.contains(contained) else containerNorm.contains(contained)
-          }
-          .map { case (_, contained, _, _) =>
-            if (containerId < contained) (containerId, contained) else (contained, containerId)
-          }
+    oriented.mapPartitions { rows =>
+      var curId = Long.MinValue
+      var curNorm: String = null
+      var sa: SuffixArray = null
+      var runLen = 0
+      rows.flatMap { case (cid, contained, cnorm, dnorm) =>
+        if (cid != curId || curNorm == null) {
+          curId = cid; curNorm = cnorm; sa = null; runLen = 0
+        }
+        runLen += 1
+        if (sa == null && runLen >= 4) sa = SuffixArray.build(curNorm)
+        // mid-needle fast reject: any occurrence of the full contained text
+        // includes its middle 64 chars, so a miss on the cheap short probe
+        // (O(64 log n) vs O(m log n) full binary search / deep indexOf on
+        // boilerplate-prefix near-matches) disproves containment exactly —
+        // ~93% of gate-surviving candidates are false and die here
+        val m = dnorm.length
+        val maybe = m < 96 || {
+          val mid = dnorm.substring(m / 2 - 32, m / 2 + 32)
+          if (sa != null) sa.contains(mid) else curNorm.contains(mid)
+        }
+        val hit = maybe &&
+          (if (sa != null) sa.contains(dnorm) else curNorm.contains(dnorm))
+        if (hit) Iterator.single((math.min(cid, contained), math.max(cid, contained)))
+        else Iterator.empty
       }
-      .toDF("a", "b")
+    }.toDF("a", "b")
   }
 
   /** Full run: returns (clip_id, id, cluster, rep_clip_id, is_rep). `cluster`
