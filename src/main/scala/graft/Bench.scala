@@ -40,7 +40,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", prop("graft.shufflePartitions", cores.toString))
       .config("spark.sql.adaptive.enabled", prop("graft.aqe", "true"))
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
-      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.autoBroadcastJoinThreshold", prop("graft.broadcastThreshold", "256m"))
+      // local mode: broadcast value materialization is serialized across
+      // task threads (TorrentBroadcast KeyLock) — uncompressed pieces make
+      // the one-time build several times cheaper (no network to save)
+      .config("spark.broadcast.compress", prop("graft.broadcastCompress", "false"))
+      .config("spark.broadcast.blockSize", prop("graft.broadcastBlock", "64m"))
       // local-mode shuffle reads otherwise mmap every block >2m: on this
       // kernel concurrent munmap serializes all page faults on mmap_lock
       // (measured: sys time > user time at local[32]) — plain pread instead

@@ -144,6 +144,17 @@ object SparkEntry {
           countmin_upper(lit(bytes), col("s_suppkey")).as("ub"))
         .orderBy(col("s_suppkey"))
     }),
+    "q17_spacesaving" -> ((s, d) => {
+      // SpaceSaving with s=4096 > |distinct l_partkey|: no eviction ever
+      // happens, counts are exact, so the sketch must equal the exact
+      // GROUP BY/HAVING (same contract as q09 for Misra-Gries; reference
+      // notes the two summaries are isomorphic, SpaceSaving.java:41-42).
+      t(s, d, "lineitem")
+        .agg(spacesaving_topk(col("l_partkey"), 4096, 45L).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.key").as("l_partkey"), col("h.est").as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+    }),
     "q11_sessions" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
@@ -360,7 +371,11 @@ object SparkEntry {
       val schema = t(s, d, "events").schema
       // the file stream source lists a DIRECTORY; the sf table is a single
       // parquet file, so stage a link/copy of it under a stream dir
-      val streamDir = java.nio.file.Paths.get(s"${OracleDump.dir}/s01_events_src")
+      // staging dir keyed by the SOURCE path: a fixed dir kept a stale copy
+      // when Verify ran against a different sf dir in the same container
+      val srcTag = java.lang.Long.toHexString(
+        graft.core.Murmur3.hashString(new java.io.File(d).getCanonicalPath, 11L))
+      val streamDir = java.nio.file.Paths.get(s"${OracleDump.dir}/s01_events_src_$srcTag")
       java.nio.file.Files.createDirectories(streamDir)
       val target = streamDir.resolve("events.parquet")
       if (!java.nio.file.Files.exists(target))
@@ -527,6 +542,9 @@ object SparkEntry {
     "q10_countmin_point" ->
       """SELECT s_suppkey, (SELECT count(*) FROM lineitem WHERE l_suppkey = s_suppkey) AS cnt
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q17_spacesaving" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 HAVING count(*) >= 45 ORDER BY cnt DESC, l_partkey""".stripMargin,
     "q16_countmin_bounds" ->
       // 100 distinct suppliers vs 4000 columns: no cell collisions, so the
       // (conservative) estimate is exactly the true count, ub = est, and

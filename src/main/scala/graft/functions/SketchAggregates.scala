@@ -210,7 +210,65 @@ object SketchAggregates {
     override def prettyName: String = "graft_countmin_maxerror"
   }
 
+  private val ssStructType = StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("lb", LongType, nullable = false),
+    StructField("est", LongType, nullable = false)))
+
+  /** spacesaving_topk(keyCol, s, threshold): SpaceSaving heavy hitters
+    * (reference SpaceSaving.java; isomorphic to Misra-Gries per its own
+    * comment at :41-42). Emits array<struct<key,lb,est>> of keys whose
+    * estimate >= threshold, sorted by (est desc, key asc). With s >
+    * |distinct keys| no eviction happens and counts are exact. */
+  case class SpaceSavingAgg(
+      child: Expression,
+      s: Int,
+      threshold: Long,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[graft.sketch.SpaceSaving] {
+
+    override def createAggregationBuffer(): graft.sketch.SpaceSaving =
+      graft.sketch.SpaceSaving(s)
+
+    override def update(buffer: graft.sketch.SpaceSaving, input: InternalRow): graft.sketch.SpaceSaving = {
+      val v = child.eval(input)
+      if (v != null) buffer.update(v.asInstanceOf[Long])
+      buffer
+    }
+
+    override def merge(buffer: graft.sketch.SpaceSaving, other: graft.sketch.SpaceSaving): graft.sketch.SpaceSaving =
+      buffer.merge(other)
+
+    override def eval(buffer: graft.sketch.SpaceSaving): Any = {
+      val rows = buffer.frequentKeys(threshold).map { case (key, lb, est) =>
+        InternalRow(key, lb, est)
+      }
+      new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    }
+
+    override def serialize(buffer: graft.sketch.SpaceSaving): Array[Byte] = buffer.serialize()
+    override def deserialize(bytes: Array[Byte]): graft.sketch.SpaceSaving =
+      graft.sketch.SpaceSaving.deserialize(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+      copy(inputAggBufferOffset = newOffset)
+
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SpaceSavingAgg =
+      copy(child = c.head)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(ssStructType, containsNull = false)
+    override def prettyName: String = "graft_spacesaving_topk"
+  }
+
   // ------------------------------------------------------------ Column API
+
+  def spacesaving_topk(c: Column, s: Int, threshold: Long): Column =
+    ColumnBridge.column(
+      SpaceSavingAgg(ColumnBridge.expression(c), s, threshold).toAggregateExpression())
 
   def freq_sketch_topk(c: Column, k: Int, threshold: Long): Column =
     ColumnBridge.column(
