@@ -42,6 +42,12 @@ final case class DedupConfig(
       * (it saturates), so the emitted pairs stay a pure function of the
       * data at ANY run length. */
     runBufferCap: Int = 65536,
+    /** pin the verification lookup tables (slim signatures + norm texts)
+      * as the broadcast build side. Right whenever one executor can hold
+      * the corpus' norm table (bench scale, and clusters up to ~10^8
+      * medium clips with high executor memory); set false beyond that and
+      * AQE picks the sort-merge plan instead. */
+    broadcastLookups: Boolean = true,
     /** hot-bucket detection: exact per-key counts (default — deterministic
       * under any partitioning, map-side-combined shuffle of distinct keys)
       * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,

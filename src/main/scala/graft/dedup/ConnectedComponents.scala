@@ -92,24 +92,41 @@ object ConnectedComponents {
     * @return DataFrame (id: Long, label: Long) — label = min id in component.
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = symmetrize(edges).localCheckpoint(true)
-    var labels = initLabels(sym).localCheckpoint(true)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // LAZY localCheckpoint: the labelSum action below is what computes the
-      // round — it materializes + caches the partitions and truncates the
-      // lineage in the SAME job. The previous eager checkpoint ran a
-      // dedicated job per round, doubling the serial driver round-trips the
-      // scaling-efficiency profile showed between CC rounds.
-      val jumped = step(sym, labels).localCheckpoint(false)
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = jumped
-      iter += 1
+    val spark = edges.sparkSession
+    // AQE re-plans every exchange as its own mini-job: across ~5 rounds x
+    // ~5 exchanges that is ~25 serial driver round-trips for label tables
+    // of a few MB — pure scheduling latency at any core count. The loop's
+    // plans are tiny and regular; static planning runs each round as ONE
+    // job. (Restored after the loop — the big relational stages DO want
+    // AQE's runtime broadcast decisions.)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val sym = symmetrize(edges).localCheckpoint(true)
+      var labels = initLabels(sym).localCheckpoint(true)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // LAZY localCheckpoint: the labelSum action below is what computes the
+        // round — it materializes + caches the partitions and truncates the
+        // lineage in the SAME job. The previous eager checkpoint ran a
+        // dedicated job per round, doubling the serial driver round-trips the
+        // scaling-efficiency profile showed between CC rounds.
+        val jumped = step(sym, labels).localCheckpoint(false)
+        val s = labelSum(jumped)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = jumped
+        iter += 1
+      }
+      labels
+    } finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     }
-    labels
   }
 }

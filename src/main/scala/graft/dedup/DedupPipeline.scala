@@ -118,15 +118,21 @@ object DedupPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val norms = features.select(col("id"), col("norm"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val slimA = slimT.select(col("id").as("a"), col("simhash").as("sim_a"),
-      col("nsh").as("nsh_a"), col("nlen").as("nlen_a"))
-    val slimB = slimT.select(col("id").as("b"), col("simhash").as("sim_b"),
-      col("nsh").as("nsh_b"), col("nlen").as("nlen_b"))
+    // slim lookups use the same one-exchange aliased-self-join shape as the
+    // norm lookups below (ReuseExchange builds the relation once)
+    val sa0 = if (cfg.broadcastLookups) broadcast(slimT.as("sa")) else slimT.as("sa")
+    val sb0 = if (cfg.broadcastLookups) broadcast(slimT.as("sb")) else slimT.as("sb")
     // verdict flags are PROJECTED before the persist: the cached table
     // carries (a, b, 3 booleans) — not the simhash/nsh/nlen columns the
     // flags were computed from (the unprojected version cached ~6x the
     // bytes and re-read them twice, a measured bandwidth hit at bench scale)
-    val slim = cands.join(slimA, "a").join(slimB, "b")
+    val slim = cands
+      .join(sa0, col("a") === col("sa.id"))
+      .join(sb0, col("b") === col("sb.id"))
+      .select(col("a"), col("b"), col("lane"), col("fps_hits"),
+        col("sa.simhash").as("sim_a"), col("sb.simhash").as("sim_b"),
+        col("sa.nsh").as("nsh_a"), col("sb.nsh").as("nsh_b"),
+        col("sa.nlen").as("nlen_a"), col("sb.nlen").as("nlen_b"))
       .withColumn("ham_ok",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= cfg.hammingMax)
       .withColumn("jac_possible",
@@ -148,25 +154,38 @@ object DedupPipeline {
 
     val hamEdges = slim.where(col("ham_ok")).select(col("a"), col("b"))
 
-    // only surviving non-hamming pairs ever look at the transcript text —
-    // and they fetch it through the broadcast-able `norms` lookups above,
-    // so no per-pair norm strings are ever exchanged
-    val normA = norms.select(col("id").as("a"), col("norm").as("norm_a"))
-    val normB = norms.select(col("id").as("b"), col("norm").as("norm_b"))
+    // only surviving non-hamming pairs ever look at the transcript text.
+    // BOTH text lookups join the SAME aliased `norms` plan — the two
+    // broadcast exchanges canonicalize identically, so ReuseExchange
+    // materializes the relation ONCE for all four probe joins. (The
+    // previous per-side projections normA/normB were canonically distinct:
+    // Spark built two ~norms-sized broadcast relations, and with the pair
+    // side chosen as build side it re-broadcast pair+norm_a intermediates —
+    // the serialized KeyLock waits that dominated run-vs-cpu time in the
+    // verify stage.) The hint pins norms as build side at bench scale;
+    // cfg.broadcastLookups=false drops it for corpora whose norms outgrow
+    // executor memory and lets AQE pick the sort-merge plan.
+    def attachNorms(p: DataFrame): DataFrame = {
+      val na = if (cfg.broadcastLookups) broadcast(norms.as("na")) else norms.as("na")
+      val nb = if (cfg.broadcastLookups) broadcast(norms.as("nb")) else norms.as("nb")
+      p.join(na, col("a") === col("na.id"))
+        .join(nb, col("b") === col("nb.id"))
+        .select(col("a"), col("b"),
+          col("na.norm").as("norm_a"), col("nb.norm").as("norm_b"))
+    }
 
     // jaccard probe order: sorted by `a` within each partition so the
     // shingle-set memo (TextFeatures.shingleMemo) gets a near-perfect hit
     // rate on the a side — each distinct norm_a is shingled once per run
-    val jacEdges = slim.where(!col("ham_ok") && col("jac_possible"))
-      .select(col("a"), col("b"))
-      .sortWithinPartitions(col("a"))
-      .join(normA, "a").join(normB, "b")
+    val jacEdges = attachNorms(
+      slim.where(!col("ham_ok") && col("jac_possible"))
+        .select(col("a"), col("b"))
+        .sortWithinPartitions(col("a")))
       .where(jaccard_ge(col("norm_a"), col("norm_b")))
       .select(col("a"), col("b"))
     val conEdges = containmentEdges(
-      slim.where(!col("ham_ok") && col("con_possible"))
-        .select(col("a"), col("b"))
-        .join(normA, "a").join(normB, "b"), cfg)
+      attachNorms(slim.where(!col("ham_ok") && col("con_possible"))
+        .select(col("a"), col("b"))), cfg)
 
     // a pair can pass both the jaccard and containment clauses — dedup the
     // overlap; hamEdges are disjoint by the !ham_ok gate and internally
@@ -245,10 +264,16 @@ object DedupPipeline {
     * map-side-combinable groupBy (no window sort over the whole corpus). */
   def assignments(features: DataFrame, labels: DataFrame): DataFrame = {
     val ids = features.select(col("clip_id"), col("id"))
+    // narrow (clip_id, id, cluster) rows, checkpointed: both the reps
+    // aggregation and the final join consume this table — unpersisted it
+    // was recomputed per consumer, re-reading the features cache and
+    // re-running the labels join three times (at corpus scale: three
+    // full-corpus scans in the output phase alone)
     val withLabels = ids
       .join(labels.withColumnRenamed("label", "cc_label"), Seq("id"), "left")
       .withColumn("cluster", coalesce(col("cc_label"), col("id")))
       .select(col("clip_id"), col("id"), col("cluster"))
+      .localCheckpoint(false)
     val reps = withLabels.groupBy(col("cluster"))
       .agg(min(col("clip_id")).as("rep_clip_id"))
     withLabels
