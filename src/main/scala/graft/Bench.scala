@@ -50,6 +50,9 @@ object Bench {
       // kernel concurrent munmap serializes all page faults on mmap_lock
       // (measured: sys time > user time at local[32]) — plain pread instead
       .config("spark.storage.memoryMapThreshold", prop("graft.mmapThreshold", "2g"))
+      // single host: every task is process-local; the default 3s locality
+      // wait only delays launches after uneven stage tails
+      .config("spark.locality.wait", prop("graft.localityWait", "0"))
       .config("spark.shuffle.compress", prop("graft.shuffleCompress", "true"))
       .config("spark.shuffle.spill.compress", prop("graft.shuffleCompress", "true"))
       // this host's page-alloc path is slow (~40-60 MB/s first-touch tmpfs,

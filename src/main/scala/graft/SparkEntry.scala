@@ -288,6 +288,26 @@ object SparkEntry {
       Seq((nExact, nHits, recallBp, recallBp >= 8000L))
         .toDF("n_exact", "n_hits", "recall_bp", "meets_floor")
     }),
+    "e04_knn_ivf" -> ((s, d) => {
+      // IVF cell-probe ANN with the same cross-verified recall contract as
+      // e02: the IVF top-k is persisted, then BOTH engines compute exact
+      // top-3 and measure recall of the persisted result against it.
+      // Queries probe nprobe/nlist = 1/4 of the cells.
+      import s.implicits._
+      val vecs = t(s, d, "embeddings")
+      val queries = vecs.where(col("vec_id") % 10 === 0)
+      Ann.ivfTopK(queries, vecs, 3)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"))
+        .coalesce(1).write.mode("overwrite").parquet(s"${OracleDump.dir}/e04_ivf")
+      val exact = Ann.bruteForceTopK(queries, vecs, 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val ivf = s.read.parquet(s"${OracleDump.dir}/e04_ivf")
+      val nExact = exact.count()
+      val nHits = exact.join(ivf, Seq("vec_id", "neighbor_id"), "left_semi").count()
+      val recallBp = math.floor(10000.0 * nHits / nExact).toLong
+      Seq((nExact, nHits, recallBp, recallBp >= 8000L))
+        .toDF("n_exact", "n_hits", "recall_bp", "meets_floor")
+    }),
     "e03_cosine_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs (threshold on the rounded
       // similarity so both engines compare identical 3-decimal values)
@@ -483,6 +503,22 @@ object SparkEntry {
          |lsh AS (SELECT vec_id, neighbor_id FROM read_parquet('${OracleDump.dir}/e02_lsh/*.parquet')),
          |c AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
          |             (SELECT count(*) FROM exact e JOIN lsh l USING (vec_id, neighbor_id)) AS n_hits)
+         |SELECT n_exact, n_hits,
+         |  CAST(floor((10000.0 * n_hits) / n_exact) AS BIGINT) AS recall_bp,
+         |  (floor((10000.0 * n_hits) / n_exact) >= 8000) AS meets_floor
+         |FROM c""".stripMargin,
+    "e04_knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+         |ranked AS (
+         |  SELECT q.vec_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(q.emb, b.emb), 3) DESC, b.vec_id) AS rank
+         |  FROM q CROSS JOIN v b WHERE q.vec_id != b.vec_id),
+         |exact AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3),
+         |ivf AS (SELECT vec_id, neighbor_id FROM read_parquet('${OracleDump.dir}/e04_ivf/*.parquet')),
+         |c AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |             (SELECT count(*) FROM exact e JOIN ivf l USING (vec_id, neighbor_id)) AS n_hits)
          |SELECT n_exact, n_hits,
          |  CAST(floor((10000.0 * n_hits) / n_exact) AS BIGINT) AS recall_bp,
          |  (floor((10000.0 * n_hits) / n_exact) >= 8000) AS meets_floor

@@ -67,4 +67,57 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("sim_r3"), col("rank"))
   }
+
+  /** IVF (inverted-file) top-k — the cell-probing scale path.
+    *
+    * A coarse quantizer of `nlist` centroids partitions the base vectors
+    * into cells; each query searches only its `nprobe` nearest cells, so
+    * candidate mass is ~(nprobe/nlist) of the base per query instead of a
+    * cross join. Centroids are a deterministic seeded sample (the nlist
+    * vectors minimizing murmur3(vec_id, seed)): the quantizer only needs a
+    * stable space partition, and sampling keeps the build one scan + one
+    * broadcast (no iterative k-means jobs).
+    *
+    * Plan shape: assignment computes (vec_id, cell) via a broadcast cross
+    * join projected to slim rows, argmax by a map-side-combinable
+    * `max_by(cid, struct(sim, -cid))` (deterministic ties), then the probe
+    * join runs on cell ids — embeddings are attached once on each side,
+    * never shuffled through the argmax. */
+  def ivfTopK(queries: DataFrame, base: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
+    val cent = base
+      .select(col("vec_id"), col("embedding"),
+        murmur3_pair(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+
+    // nearest cell per base vector: slim (vec_id, cid, sim) rows into a
+    // partial-aggregated argmax — no embeddings through the shuffle
+    def cellSims(vs: DataFrame): DataFrame = vs
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosine_sim(col("embedding"), col("c_emb")).as("sim"))
+    val assignedCell = cellSims(base)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("tie"))).as("cid"))
+    val cells = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
+      .join(assignedCell.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+
+    // nprobe nearest cells per query
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val probes = cellSims(queries)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id"), col("cid"))
+      .join(queries.select(col("vec_id"), col("embedding").as("q_emb")), "vec_id")
+
+    val wk = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_r3").desc, col("neighbor_id").asc)
+    probes.join(cells, "cid")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim_r3", round(cosine_sim(col("q_emb"), col("b_emb")), 3))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("sim_r3"), col("rank"))
+  }
 }

@@ -109,12 +109,14 @@ object ConnectedComponents {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // LAZY localCheckpoint: the labelSum action below is what computes the
-        // round — it materializes + caches the partitions and truncates the
-        // lineage in the SAME job. The previous eager checkpoint ran a
-        // dedicated job per round, doubling the serial driver round-trips the
-        // scaling-efficiency profile showed between CC rounds.
-        val jumped = step(sym, labels).localCheckpoint(false)
+        // TWO propagation rounds per convergence check: each driver action
+        // costs a serial scheduling round-trip that dominates these tiny
+        // label jobs; at worst one extra (cheap) round runs after the
+        // fixpoint. LAZY localCheckpoint: the labelSum action below is what
+        // computes both rounds — it materializes + caches the partitions
+        // and truncates the lineage in the SAME job.
+        val jumped = step(sym, step(sym, labels).localCheckpoint(false))
+          .localCheckpoint(false)
         val s = labelSum(jumped)
         converged = s.compareTo(prevSum) == 0
         prevSum = s

@@ -28,6 +28,17 @@ class AnnSpec extends AnyFunSuite with SparkTest {
       s"only $sameCenter/${res.length} neighbors share the planted center")
   }
 
+  test("IVF top-k recalls most exact top-k pairs (probing 1/4 of the cells)") {
+    val queries = vectors.where("vec_id % 10 = 0")
+    val exact = Ann.bruteForceTopK(queries, vectors, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(queries, vectors, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall vs exact = $recall")
+    assert(recall >= 0.8, s"IVF ANN recall $recall < 0.8")
+  }
+
   test("LSH top-k recalls most exact top-k pairs") {
     val exact = Ann.bruteForceTopK(vectors, vectors, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
