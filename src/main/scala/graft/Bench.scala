@@ -167,7 +167,11 @@ object Bench {
       // workload GC pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
-      val checksum = assignmentChecksum(DedupPipeline.run(clips, DedupConfig.default))
+      // experiment knobs (default = the frozen config; overriding changes
+      // the candidate set and thus the checksum — A/B only, not the gate)
+      val cfg = DedupConfig.default.copy(
+        maxBucketSize = prop("graft.cap", DedupConfig.default.maxBucketSize.toString).toInt)
+      val checksum = assignmentChecksum(DedupPipeline.run(clips, cfg))
       ((System.nanoTime() - t0) / 1e9, checksum)
     }
     // 4 reps: this host shows multi-minute interference windows that can

@@ -114,10 +114,14 @@ object DedupPipeline {
     // the pair stream was exchanged with both norm strings attached —
     // 667 MB of shuffle for 160k clips, the largest data motion in the
     // whole pipeline.
+    // pruned projections OFF the columnar features cache — the in-memory
+    // relation serves column subsets without materializing dedicated
+    // copies. (These were separate persists when the broadcast decision
+    // was AQE-stats-driven and needed small accurate cached sizes; with
+    // cfg.broadcastLookups pinning the build side, the extra 300+ MB of
+    // cache and its build scans bought nothing.)
     val slimT = features.select(col("id"), col("simhash"), col("nsh"), col("nlen"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val norms = features.select(col("id"), col("norm"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // slim lookups use the same one-exchange aliased-self-join shape as the
     // norm lookups below (ReuseExchange builds the relation once)
     val sa0 = if (cfg.broadcastLookups) broadcast(slimT.as("sa")) else slimT.as("sa")

@@ -255,7 +255,22 @@ object TextFeatures {
     val (small, big) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
     if (big.length == 0) return true // both empty
     if (small.length.toDouble / big.length < t) return false // J <= min/max
-    jaccardSorted(sa, sb) >= t
+    // merge walk with an early abort: the final intersection I is bounded by
+    // inter + min(remaining on each side); J = I/(|A|+|B|-I) is monotone in
+    // I, so once even the bound cannot reach t the verdict is known. The
+    // walk over two multi-KB sorted arrays is the verify stage's dominant
+    // memory traffic — most false candidates abort in the first stretch.
+    val la = sa.length; val lb = sb.length
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else {
+        if (sa(i) < sb(j)) i += 1 else j += 1
+        val bound = inter + math.min(la - i, lb - j)
+        if (bound.toDouble < t * (la + lb - bound)) return false
+      }
+    }
+    inter.toDouble / (la + lb - inter) >= t
   }
 
   /** Exact Jaccard of two SORTED distinct-hash arrays (merge walk). */
