@@ -25,6 +25,12 @@ object OracleDump {
     * contract checks) land; oracleSql interpolates the same path. */
   def dir: String = sys.props.getOrElse("graft.oracleDir", "/tmp/graft_oracle")
 
+  /** Oracle parquets are only needed for the Verify -> DuckDB correctness
+    * flow; graft.Verify sets this. When off (the default — e.g. under
+    * graft.Bench) the driver-side O(n²) brute-force computations are
+    * skipped so benchmarks time the OPERATOR, not its test oracle. */
+  def enabled: Boolean = sys.props.get("graft.writeOracles").contains("true")
+
   private val cfg = DedupConfig.default
 
   private def hashId(s: String): Long = Murmur3.hashString(s, cfg.seed + 6000L)
@@ -52,6 +58,7 @@ object OracleDump {
   /** Expected p01 output: (clip_id, cluster, rep_clip_id, is_rep) for the
     * n-clip deterministic corpus, from the brute-force oracle. */
   def dedupAssignExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    if (!enabled) return
     import spark.implicits._
     val pl = CorpusGen.plan(n, cfg.seed)
     val specs = (0 until n).map(i => CorpusGen.clipSpec(cfg.seed, i.toLong, pl))
@@ -64,6 +71,7 @@ object OracleDump {
   /** Expected p02 output: the surviving (representative) rows with their
     * generation-time audio metadata. */
   def dedupSurvivorsExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    if (!enabled) return
     import spark.implicits._
     val pl = CorpusGen.plan(n, cfg.seed)
     val specs = (0 until n).map(i => CorpusGen.clipSpec(cfg.seed, i.toLong, pl))
@@ -81,6 +89,7 @@ object OracleDump {
     * outside the Spark expression/aggregation path the query exercises.
     * min/max are order-independent, so no float-summation-order hazard. */
   def audioStatsExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    if (!enabled) return
     import spark.implicits._
     val pl = CorpusGen.plan(n, cfg.seed)
     val byCodec = scala.collection.mutable.Map[String, (Long, Long, Double, Double)]()
@@ -110,6 +119,7 @@ object OracleDump {
     * table (keys are the stringified doc_ids, matching the pipeline's
     * clip_id mapping). */
   def docClustersExpected(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    if (!enabled) return
     import spark.implicits._
     val collected = docs.select("doc_id", "text").as[(Long, String)]
       .collect().sortBy(_._1)
@@ -125,6 +135,7 @@ object OracleDump {
     * sequential Scala pass (the shared TextFeatures primitives ARE the
     * contract; what this checks is the distributed explode/groupBy plumbing). */
   def simhashHistExpected(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    if (!enabled) return
     import spark.implicits._
     val texts = docs.select("text").as[String].collect()
     val bucketCounts = scala.collection.mutable.Map[Long, Long]()

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // enable the driver-side oracle writers + recall contracts (skipped
+    // under graft.Bench so benchmarks time operators, not test oracles)
+    sys.props("graft.writeOracles") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -45,6 +45,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: gap split, cross-batch state, timeout flush") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val events = input.toDF().toDF("user_id", "ts")
+    val out = Sessionize.sessionizeDF(events, gapSec = 60, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10s apart (one session so far);
+      // user 2 one event
+      input.addData(Seq((1L, t(0)), (1L, t(10)), (2L, t(5))))
+      q.processAllAvailable()
+      // batch 2: user 1 event 200s later -> closes the first session (gap
+      // 60s exceeded) and opens a second; the watermark (= max event time)
+      // also passes user 2's last+gap, flushing user 2 via timeout
+      input.addData(Seq((1L, t(210))))
+      q.processAllAvailable()
+      // batch 3: push the watermark far ahead so every open session times out
+      input.addData(Seq((3L, t(1000))))
+      q.processAllAvailable()
+      input.addData(Seq((3L, t(2000))))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select user_id, start_ms, end_ms, n_events from sess_stream order by user_id, start_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      def ms(s: Long) = 1700000000000L + s * 1000
+      assert(rows.contains((1L, ms(0), ms(10), 2L)), s"user1 first session missing: $rows")
+      assert(rows.contains((1L, ms(210), ms(210), 1L)), s"user1 second session missing: $rows")
+      assert(rows.contains((2L, ms(5), ms(5), 1L)), s"user2 session missing: $rows")
+    } finally q.stop()
+  }
+
   test("windowed event-time streaming aggregation with watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
