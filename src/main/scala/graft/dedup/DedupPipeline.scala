@@ -256,11 +256,26 @@ object DedupPipeline {
     * is the min hash-id in the component; `rep_clip_id` the lexicographically
     * smallest clip_id in the cluster (deterministic canonical pick, P11). */
   def run(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val f = features(clips, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = candidates(f, cfg)
-    val edges = verifiedEdges(f, cands, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val labels = ConnectedComponents.run(edges, maxIter = 50)
-    assignments(f, labels)
+    val spark = clips.sparkSession
+    // Size the pipeline's shuffle parallelism to the INPUT, not the
+    // session: at 5k documents a 32-partition session turns the ~40-job
+    // pipeline into thousands of near-empty tasks whose fixed scheduling/
+    // deserialize cost dwarfs the work (measured: 5k docs took 71 task-CPU
+    // seconds, almost all overhead). parquet count() is footer-metadata
+    // fast; results are partitioning-independent (checksum-gated), so the
+    // clamp only changes wall time. The final assignments table is
+    // materialized eagerly so every internal action runs under the clamp.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val p = math.max(2L, math.min(prev.toLong, clips.count() / 2000L + 1L)).toString
+    spark.conf.set(key, p)
+    try {
+      val f = features(clips, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      val cands = candidates(f, cfg)
+      val edges = verifiedEdges(f, cands, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      val labels = ConnectedComponents.run(edges, maxIter = 50)
+      assignments(f, labels).localCheckpoint(true)
+    } finally spark.conf.set(key, prev)
   }
 
   /** Join clip ids to CC labels; absent vertices are their own singleton
