@@ -48,6 +48,12 @@ final case class DedupConfig(
       * medium clips with high executor memory); set false beyond that and
       * AQE picks the sort-merge plan instead. */
     broadcastLookups: Boolean = true,
+    /** row-count ceiling above which [[graft.dedup.DedupPipeline.run]]
+      * ignores broadcastLookups=true and falls back to AQE-chosen joins —
+      * a corpus whose slim+norm lookup tables outgrow executor memory must
+      * degrade to sort-merge, not OOM the build side. ~5e6 medium clips
+      * ≈ low-GB broadcast relations; tune per deployment. */
+    broadcastLookupMaxRows: Long = 5000000L,
     /** hot-bucket detection: exact per-key counts (default — deterministic
       * under any partitioning, map-side-combined shuffle of distinct keys)
       * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,

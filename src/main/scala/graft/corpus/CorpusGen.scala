@@ -269,6 +269,18 @@ object CorpusGen {
     }
   }
 
+  /** Parquet-cached corpus: generated once per (n, seed) under /tmp and read
+    * back. Keeps corpus synthesis (audio render + G.711 encode) out of the
+    * timed window of every consumer — a bench/verify query should time the
+    * OPERATOR over stored data, like production reads Iceberg (VERDICT r2).
+    * The roundtrip is exact: binary/int/string columns only. */
+  def clipsCached(spark: SparkSession, n: Int, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val dir = s"/tmp/graft_corpus_cache_${n}_$seed"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      clips(spark, n, seed).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   /** Write the corpus as a snapshot table (immutable parquet + versioned
     * manifest with per-partition lineage — FIXTURES.md §1 storage shape).
     * Readable by plain `spark.read.parquet(dir + "/data/v0")` or

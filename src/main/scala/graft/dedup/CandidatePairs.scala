@@ -153,7 +153,14 @@ object CandidatePairs {
     val spark = packedIn.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucketSize
-    val runBuffer = math.max(cap, cfg.runBufferCap)
+    // clamp (ADVICE r2): the overflow path pins salts = MaxSalts, which is
+    // exact only when every overflow run has >= cap*MaxSalts members — so
+    // the buffer must hold at least that many regardless of how callers
+    // tune cap (Bench's graft.cap knob) or runBufferCap. At the default
+    // config cap*MaxSalts == runBufferCap == 65536: behavior (and the gate
+    // checksum) unchanged.
+    val runBuffer = math.min(Int.MaxValue.toLong,
+      math.max(cap.toLong * MaxSalts, cfg.runBufferCap.toLong)).toInt
 
     val parts = packedIn
       .repartition(col("bkey"))
@@ -207,9 +214,15 @@ object CandidatePairs {
       }
 
       /** count > RunBuffer: bounded-memory streaming variant. salts is
-        * pinned at MaxSalts (exact: saltCount saturates for any count >=
-        * cap*MaxSalts <= RunBuffer); groups always window-expand (their
-        * sizes are >> cap for any real overflow run). */
+        * pinned at MaxSalts — exact because runBuffer >= cap*MaxSalts (the
+        * clamp above), so any overflowing run has saturated saltCount.
+        * Groups always window-expand: expected group size is runBuffer /
+        * MaxSalts >= cap. Residual approximation (ADVICE r2): a salt group
+        * that lands *at or below* cap members would have gotten all-pairs
+        * expansion in saltedRun but gets the window here; with window >=
+        * cap/4 the chains keep recall (the skewed-fixture recall gate
+        * covers the regime), and any TRUE giant bucket's groups are far
+        * above cap anyway. */
       def overflowRun(bkey: Long, lane: Int, prefix: Array[Long], pn: Int): Iterator[(Long, Long, Int)] = {
         val salts = MaxSalts
         val win = Window - 1

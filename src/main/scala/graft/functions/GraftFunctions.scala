@@ -332,24 +332,38 @@ object GraftFunctions {
 
   // ----------------------------------------------------------- embeddings
 
-  /** cosine_sim(a, b): cosine similarity of two float vectors, accumulated
-    * in double. 0.0 when either norm is 0. */
-  case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val va = a.asInstanceOf[ArrayData].toFloatArray()
-      val vb = b.asInstanceOf[ArrayData].toFloatArray()
-      val n = math.min(va.length, vb.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = va(i).toDouble; val y = vb(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  /** Shared cosine kernel reading floats straight off the columnar
+    * [[ArrayData]] (no boxed copy); called from both the interpreted eval
+    * and the generated code of [[CosineSim]]. Public static (Scala object
+    * forwarder) so janino-generated Java can reference it. */
+  def cosineSimData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
     }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** cosine_sim(a, b): cosine similarity of two float vectors, accumulated
+    * in double. 0.0 when either norm is 0. Codegen-native: the generated
+    * code calls [[cosineSimData]] directly, so cosine stays inside the
+    * WholeStageCodegen span (the interpreted CodegenFallback version cost
+    * ~11 µs/pair of tree-walk + boxing on e03's cartesian baseline). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      cosineSimData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.GraftFunctions.cosineSimData($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(l, r)
     override def prettyName: String = "graft_cosine_sim"
@@ -362,17 +376,39 @@ object GraftFunctions {
   case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+
+    /** Plane matrix cache: the coords are a pure function of (seed, plane,
+      * coordIndex) — recomputing 8 planes x dim Murmur avalanches PER ROW
+      * was ~8x the dot product's own work (VERDICT r2). Built lazily at the
+      * first row's dimensionality, regrown if a wider vector appears.
+      * Volatile publication; a benign race just rebuilds the same values. */
+    @transient @volatile private var planeCache: Array[Array[Double]] = _
+    private def planesFor(dim: Int): Array[Array[Double]] = {
+      var pc = planeCache
+      if (pc == null || pc(0).length < dim) {
+        pc = Array.tabulate(nPlanes) { p =>
+          Array.tabulate(dim) { i =>
+            // deterministic pseudo-uniform plane coord in [-1, 1)
+            val h = graft.core.Murmur3.hashLong(i.toLong, seed + 8000L + p)
+            (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+          }
+        }
+        planeCache = pc
+      }
+      pc
+    }
+
     override def nullSafeEval(v: Any): Any = {
       val vec = v.asInstanceOf[ArrayData].toFloatArray()
+      val planes = planesFor(vec.length)
       var sig = 0L
       var p = 0
       while (p < nPlanes) {
+        val plane = planes(p)
         var dot = 0.0
         var i = 0
         while (i < vec.length) {
-          // deterministic pseudo-uniform plane coord in [-1, 1)
-          val h = graft.core.Murmur3.hashLong(i.toLong, seed + 8000L + p)
-          dot += vec(i) * ((h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0)
+          dot += vec(i) * plane(i)
           i += 1
         }
         if (dot >= 0) sig |= (1L << p)

@@ -264,7 +264,71 @@ object SketchAggregates {
     override def prettyName: String = "graft_spacesaving_topk"
   }
 
+  /** countmin_topk(keyCol, eps, delta, threshold[, conservative]): CountMin
+    * with update-time frequent-key tracking (reference CountMinFastFE
+    * `:162-179,370-392`) — heavy-hitter enumeration from a LINEAR sketch
+    * without a second pass, for keyspaces too hot for Misra-Gries' O(k)
+    * table. Emits array<struct<key,lb,est>> of tracked keys whose estimate
+    * >= threshold, sorted by (est desc, key asc). Complete for threshold >=
+    * eps*streamLength under any partitioning (CountMinFE's containment
+    * guarantee); exact when the sketch geometry avoids full-row collisions
+    * at the data's cardinality. */
+  case class CountMinTopKAgg(
+      child: Expression,
+      eps: Double,
+      delta: Double,
+      threshold: Long,
+      conservative: Boolean = false,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[graft.sketch.CountMinFE] {
+
+    override def createAggregationBuffer(): graft.sketch.CountMinFE =
+      graft.sketch.CountMinFE(eps, delta)
+
+    override def update(buffer: graft.sketch.CountMinFE, input: InternalRow): graft.sketch.CountMinFE = {
+      val v = child.eval(input)
+      if (v != null) {
+        if (conservative) buffer.conservativeUpdate(v.asInstanceOf[Long])
+        else buffer.update(v.asInstanceOf[Long])
+      }
+      buffer
+    }
+
+    override def merge(buffer: graft.sketch.CountMinFE, other: graft.sketch.CountMinFE): graft.sketch.CountMinFE =
+      buffer.merge(other)
+
+    override def eval(buffer: graft.sketch.CountMinFE): Any = {
+      val rows = buffer.frequentKeys(threshold).map { case (key, lb, est) =>
+        InternalRow(key, lb, est)
+      }
+      new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    }
+
+    override def serialize(buffer: graft.sketch.CountMinFE): Array[Byte] = buffer.serialize()
+    override def deserialize(bytes: Array[Byte]): graft.sketch.CountMinFE =
+      graft.sketch.CountMinFE.deserialize(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CountMinTopKAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CountMinTopKAgg =
+      copy(inputAggBufferOffset = newOffset)
+
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMinTopKAgg =
+      copy(child = c.head)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(ssStructType, containsNull = false)
+    override def prettyName: String = "graft_countmin_topk"
+  }
+
   // ------------------------------------------------------------ Column API
+
+  def countmin_topk(c: Column, eps: Double, delta: Double, threshold: Long,
+                    conservative: Boolean = false): Column =
+    ColumnBridge.column(
+      CountMinTopKAgg(ColumnBridge.expression(c), eps, delta, threshold,
+        conservative).toAggregateExpression())
 
   def spacesaving_topk(c: Column, s: Int, threshold: Long): Column =
     ColumnBridge.column(

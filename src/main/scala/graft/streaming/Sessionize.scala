@@ -13,11 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per user = the open session; a new event extends it while within
   * `gapSec` of the last seen event, otherwise the old session is emitted
   * closed and a fresh one opens. When the watermark passes last+gap the
-  * timeout fires and the open session is emitted. Exactly the semantics of
-  * the batch q11_sessions query, expressed incrementally: bounded state
-  * (one small struct per active user), append-mode output, late data
-  * handled by the upstream watermark — the shape that holds at an
-  * unbounded 10^12-event stream where the batch self-join cannot. */
+  * timeout fires and the open session is emitted. Matches the batch
+  * q11-style gaps-and-islands semantics exactly for in-order streams AND
+  * for late (within-watermark) events that land within `gapSec` of the
+  * open session's span — those merge without regressing `last_ms` (so the
+  * event-time timeout never fires early). The one approximation: an event
+  * arriving more than `gapSec` BEFORE the open session's start (possible
+  * only inside the watermark window) closes immediately as a singleton
+  * session, since O(1) state cannot re-open already-emitted history.
+  * Bounded state (one small struct per active user), append-mode output —
+  * the shape that holds at an unbounded 10^12-event stream where the batch
+  * self-join cannot. */
 object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp)
@@ -44,11 +50,30 @@ object Sessionize {
       evs.foreach { e =>
         val t = e.ts.getTime
         if (cur == null) cur = OpenSession(t, t, 1L)
-        else if (t - cur.last_ms <= gapMs)
-          cur = OpenSession(cur.start_ms, t, cur.n + 1L)
-        else {
-          out ::= Session(userId, cur.start_ms, cur.last_ms, cur.n)
-          cur = OpenSession(t, t, 1L)
+        else if (t > cur.last_ms) {
+          // in-order (the common case): extend or split forward
+          if (t - cur.last_ms <= gapMs)
+            cur = OpenSession(cur.start_ms, t, cur.n + 1L)
+          else {
+            out ::= Session(userId, cur.start_ms, cur.last_ms, cur.n)
+            cur = OpenSession(t, t, 1L)
+          }
+        } else if (t >= cur.start_ms - gapMs) {
+          // late-but-within-watermark event landing inside the open session's
+          // span or within the gap before it: merge — last_ms must NEVER
+          // regress (ADVICE r2: a backward-moving last_ms fired the
+          // event-time timeout early and closed sessions prematurely),
+          // start_ms extends backwards
+          cur = OpenSession(math.min(cur.start_ms, t), cur.last_ms, cur.n + 1L)
+        } else {
+          // ultra-late: predates the open session by more than the gap.
+          // The events that could have joined it are already emitted or
+          // never seen, so it closes immediately as its own session —
+          // a documented approximation of the batch semantics (exact
+          // sessionization of arbitrarily-late data needs the full event
+          // history, not O(1) state; the upstream watermark bounds how
+          // late this path can trigger).
+          out ::= Session(userId, t, t, 1L)
         }
       }
       if (cur != null) {

@@ -58,6 +58,23 @@ class DedupPipelineSpec extends AnyFunSuite with SparkTest {
     assert(precision == 1.0, s"pipeline merged non-duplicate clips (precision $precision)")
   }
 
+  test("run() self-cleans: no internal cache survives, only the returned checkpoints") {
+    import spark.implicits._
+    val clips = spark.createDataset(
+      transcripts.take(200).zipWithIndex.map { case (t, i) => (CorpusGen.clipId(i.toLong), t) }.toSeq
+    ).toDF("clip_id", "transcript")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out1 = DedupPipeline.run(clips, cfg)
+    assert(out1.count() == 200)
+    val out2 = DedupPipeline.run(clips, cfg)
+    assert(out2.count() == 200)
+    val keep = org.apache.spark.sql.graftshim.PlanShim.checkpointRddIds(out1) ++
+      org.apache.spark.sql.graftshim.PlanShim.checkpointRddIds(out2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before -- keep
+    assert(leaked.isEmpty,
+      s"pipeline leaked persistent RDDs: $leaked (VERDICT r2 #2 regression)")
+  }
+
   test("truncation (substring) pairs are recovered via the winnowing lane") {
     val pl = CorpusGen.plan(n, seed)
     val truncIdx = (0 until n).filter { i =>

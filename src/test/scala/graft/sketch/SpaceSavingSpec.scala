@@ -61,6 +61,50 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(hot.subsetOf(found), s"missing hot keys: ${hot -- found}")
   }
 
+  test("invalid parameters fail fast with IllegalArgumentException") {
+    // ADVICE r2: SpaceSaving(-1) used to throw NegativeArraySizeException
+    // from the pre-require allocation; validation now runs in the companion
+    intercept[IllegalArgumentException](SpaceSaving(-1))
+    intercept[IllegalArgumentException](SpaceSaving(0))
+    intercept[IllegalArgumentException](SpaceSaving.forTolerance(0.0))
+    intercept[IllegalArgumentException](SpaceSaving.forTolerance(1.5))
+    // absurdly small tolerance must refuse, not attempt a huge allocation
+    intercept[IllegalArgumentException](SpaceSaving.forTolerance(1e-12))
+  }
+
+  test("heap-order update matches a sequential linear-scan oracle exactly") {
+    // the O(log s) heap must EVICT THE MINIMUM like the O(s) scan did:
+    // lockstep against a tiny reference implementation of the same policy
+    val stream = zipfStream(30000, 900, 1.0, 7)
+    val s = 64
+    val ss = SpaceSaving(s)
+    // oracle: naive parallel arrays + linear scans (the r2 implementation)
+    val ks = new Array[Long](s); val cs = new Array[Long](s); val es = new Array[Long](s)
+    var size = 0
+    def naiveUpdate(key: Long): Unit = {
+      var i = 0; var found = -1
+      while (i < size && found < 0) { if (ks(i) == key) found = i; i += 1 }
+      if (found >= 0) cs(found) += 1
+      else if (size < s) { ks(size) = key; cs(size) = 1; es(size) = 0; size += 1 }
+      else {
+        var m = 0; i = 1
+        while (i < size) { if (cs(i) < cs(m)) m = i; i += 1 }
+        val err = cs(m); ks(m) = key; es(m) = err; cs(m) = err + 1
+      }
+    }
+    // NOTE: when several counters tie at the minimum the two policies may
+    // evict different victims — the SUMMARIES can then differ on exactly
+    // which min-count key is monitored, but the min COUNT (and so every
+    // estimate bound) is identical. Assert the bound-level equivalence.
+    stream.foreach { k => ss.update(k); naiveUpdate(k) }
+    val naiveMin = (0 until size).map(cs(_)).min
+    assert(ss.estimate(Long.MinValue) == naiveMin, "untracked estimate = min count must match")
+    val exact = exactCounts(stream)
+    exact.foreach { case (k, c) =>
+      assert(ss.estimate(k) >= c)
+    }
+  }
+
   test("serde roundtrip preserves estimates") {
     val stream = zipfStream(5000, 400, 0.7, 4)
     val ss = SpaceSaving(64)

@@ -79,6 +79,45 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("sessionization merges late-but-within-watermark events without regressing last_ms") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def ms(s: Long) = 1700000000000L + s * 1000
+    val events = input.toDF().toDF("user_id", "ts")
+    // generous watermark: nothing is dropped, late events reach the operator
+    val out = Sessionize.sessionizeDF(events, gapSec = 60, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess_late_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 open session [100, 130]; user 2 event at 1000
+      input.addData(Seq((1L, t(100)), (1L, t(130)), (2L, t(1000))))
+      q.processAllAvailable()
+      // batch 2 (ADVICE r2 scenario): user 1 gets a LATE event at 80 —
+      // within the gap before the open session's start. It must merge
+      // (start extends back to 80, last stays 130, n -> 3); the old code
+      // set last_ms back to 80 and mis-split the next event. user 2 gets
+      // an ULTRA-late event at 500 (> gap before its open session) which
+      // closes immediately as a singleton.
+      input.addData(Seq((1L, t(80)), (2L, t(500))))
+      q.processAllAvailable()
+      // batch 3: user 1 event at 150 — within gap of last=130, so STILL the
+      // same session (the buggy version had last=80 and split here)
+      input.addData(Seq((1L, t(150))))
+      q.processAllAvailable()
+      // batch 4: far-future event closes user 1's session via gap split
+      input.addData(Seq((1L, t(5000))))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select user_id, start_ms, end_ms, n_events from sess_late_stream order by user_id, start_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(rows.contains((1L, ms(80), ms(150), 4L)), s"merged late session wrong: $rows")
+      assert(rows.contains((2L, ms(500), ms(500), 1L)), s"ultra-late singleton missing: $rows")
+      assert(!rows.exists(r => r._1 == 1L && r._3 < r._2), s"end < start emitted: $rows")
+    } finally q.stop()
+  }
+
   test("windowed event-time streaming aggregation with watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
