@@ -87,7 +87,18 @@ object Bench {
     *  - ParallelGCThreads=8: 32 GC workers spent ~0.9 CPU-core of pure sys
     *    time in work-stealing yield spins on this kernel;
     *  - G1 was tried and spent minutes of kernel time in page management. */
-  private def spawnChild(childArgs: Seq[String], marker: String): String = {
+  private def spawnChild(childArgs: Seq[String], marker: String): String =
+    spawnChild(childArgs, marker, 0)
+
+  /** `pinCores` > 0 bounds the child's ENTIRE CPU budget (task slots + GC +
+    * JIT + shuffle/netty threads) to that many hardware threads via
+    * `taskset`. This is what "an N-core executor" actually means: without
+    * it, local[2] borrowed unbounded host threads for GC (8), JIT (4) and
+    * Spark auxiliaries — free capacity a real 2-core executor does not
+    * have, inflating the N-side throughput and depressing the measured
+    * N→4N efficiency below what real executors would show. GC threads are
+    * scaled down to the pinned budget for the same reason. */
+  private def spawnChild(childArgs: Seq[String], marker: String, pinCores: Int): String = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -102,9 +113,15 @@ object Bench {
     // RAM would otherwise hard-fail on AlwaysPreTouch)
     val heap = prop("graft.childHeap", "28g")
     val newGen = prop("graft.childNewGen", "22g")
-    val cmd = Seq(java, s"-Xms$heap", s"-Xmx$heap", s"-Xmn$newGen",
+    val pin = pinCores > 0 && prop("graft.pinCpus", "true").toBoolean &&
+      new _root_.java.io.File("/usr/bin/taskset").exists()
+    val prefix = if (pin) Seq("/usr/bin/taskset", "-c", s"0-${pinCores - 1}") else Seq.empty
+    val gcThreads = if (pin) math.min(8, math.max(1, pinCores)) else 8
+    val jitThreads = if (pin) math.min(4, math.max(2, pinCores)) else 4
+    val cmd = prefix ++ Seq(java, s"-Xms$heap", s"-Xmx$heap", s"-Xmn$newGen",
       "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy", "-XX:SurvivorRatio=6",
-      "-XX:+AlwaysPreTouch", "-XX:ParallelGCThreads=8", "-XX:CICompilerCount=4") ++
+      "-XX:+AlwaysPreTouch", s"-XX:ParallelGCThreads=$gcThreads",
+      s"-XX:CICompilerCount=$jitThreads") ++
       addOpens ++
       sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" } ++ Seq(
       "-cp", System.getProperty("java.class.path"),
@@ -117,14 +134,15 @@ object Bench {
   }
 
   private def timedDedup(cores: Int, corpusPath: String): (Double, Long) = {
-    val line = spawnChild(Seq("child", cores.toString, corpusPath), "CHILD_RESULT ")
+    val line = spawnChild(Seq("child", cores.toString, corpusPath), "CHILD_RESULT ", cores)
     val Array(_, sec, sum) = line.split(" ")
     (sec.toDouble, sum.toLong)
   }
 
-  /** (computeSec, membwSec) from a fresh calib child at `cores`. */
+  /** (computeSec, membwSec) from a fresh calib child at `cores` — pinned to
+    * the same CPU budget as the dedup children (same protocol). */
   private def timedCalib(cores: Int): (Double, Double) = {
-    val line = spawnChild(Seq("calib", cores.toString), "CHILD_CALIB ")
+    val line = spawnChild(Seq("calib", cores.toString), "CHILD_CALIB ", cores)
     val Array(_, comp, mem) = line.split(" ")
     (comp.toDouble, mem.toDouble)
   }

@@ -103,7 +103,14 @@ object ConnectedComponents {
     val prevAqe = spark.conf.getOption(aqeKey)
     spark.conf.set(aqeKey, "false")
     try {
-      val sym = symmetrize(edges).localCheckpoint(true)
+      // the 3-way union in symmetrize concatenates its parents' partitions
+      // (3x the edge table's count): every one of the ~4 sym scans per
+      // round then launches 3x the tasks — at ~170 ms fixed cost per task
+      // launch on this host that was the single biggest serial drag in the
+      // CC phase (measured r3: 24-task scans x 12 per run). coalesce is
+      // narrow (no shuffle) and the checkpoint stores the merged layout.
+      val p = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      val sym = symmetrize(edges).coalesce(p).localCheckpoint(true)
       var labels = initLabels(sym).localCheckpoint(true)
       var prevSum = labelSum(labels)
       var iter = 0
