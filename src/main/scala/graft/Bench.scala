@@ -151,15 +151,15 @@ object Bench {
     * shuffle, warmup + min-of-2 per kernel — the same measurement protocol
     * as the dedup children so the numbers are directly comparable.
     *  - compute kernel: per-task Murmur3 avalanche chain, pure registers;
-    *  - membw kernel: per-task streaming sums over a broadcast 64 MB long
-    *    array (shared, read-only — the LLC/DRAM read path a shuffle-heavy
-    *    job contends on). */
+    *  - membw kernel: per-task streaming sums over a broadcast 256 MB long
+    *    array (shared, read-only, LLC-exceeding — the DRAM read path a
+    *    shuffle-heavy job contends on). */
   private def calibChildMain(cores: Int): Unit = {
     val spark = session(cores)
     import spark.implicits._
     val tasks = prop("graft.calibTasks", "256").toInt
     val compIters = prop("graft.calibIters", "20000000").toLong
-    val memPasses = prop("graft.calibPasses", "4").toInt
+    val memPasses = prop("graft.calibPasses", "2").toInt
     def computeOnce(): Double = {
       val t0 = System.nanoTime()
       val x = spark.range(0, tasks.toLong, 1, tasks).as[Long].map { i =>
@@ -170,7 +170,11 @@ object Bench {
       if (x == 42L) System.err.println("") // keep the result live
       (System.nanoTime() - t0) / 1e9
     }
-    val arr = Array.tabulate(1 << 23)(i => i.toLong * 0x9e3779b97f4a7c15L) // 64 MB
+    // 256 MB: must EXCEED the socket's last-level cache — the first cut used
+    // 64 MB, which the LLC largely absorbed, and the "membw" kernel measured
+    // near-perfect (even superlinear) 2→8 scaling instead of the DRAM
+    // bandwidth ceiling it exists to quantify (BENCH 2026-08-17: eff 1.026)
+    val arr = Array.tabulate(1 << 25)(i => i.toLong * 0x9e3779b97f4a7c15L) // 256 MB
     val bc = spark.sparkContext.broadcast(arr)
     def membwOnce(): Double = {
       val t0 = System.nanoTime()
@@ -250,11 +254,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (dt, checksum)
     }
-    // 2 reps per child x 2 interleaved child rounds per level (Bench.main):
+    // reps per child x 2 interleaved child rounds per level (Bench.main):
     // this host shows multi-minute interference windows that can swallow a
-    // whole child run — min over 4 iterations spread across two separated
-    // rounds catches a clean window more reliably than 4 consecutive ones
-    val reps = prop("graft.benchReps", "2").toInt
+    // whole child run — iterations spread across two separated rounds catch
+    // a clean window more reliably than the same count consecutively.
+    // Higher-core levels run MORE reps: their iterations are ~4x shorter, so
+    // a fixed rep count gives the short side fewer chances to land inside a
+    // clean window — exactly the asymmetry that made BENCH_r03's first cut
+    // mix a clean 2-core numerator with a dirty 8-core denominator.
+    // (both levels consistently show rep-over-rep decline — JIT + page
+    // cache still warming after the single warmup iteration — so every
+    // level gets at least 3 measured reps to converge on steady state)
+    val reps = prop("graft.benchReps", if (cores >= 8) "4" else "3").toInt
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum

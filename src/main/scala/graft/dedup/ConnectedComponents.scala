@@ -102,6 +102,17 @@ object ConnectedComponents {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.getOption(aqeKey)
     spark.conf.set(aqeKey, "false")
+    // The jump/step joins operate on per-round (id, label) tables. The
+    // static planner sees small stats and picks BroadcastHashJoin — but the
+    // label table is REBUILT every round, so each round pays two serial
+    // broadcast builds (measured at 160k clips: 8 extra jobs per run, each
+    // re-reading ~122 MB of lineage, parUse 0.76→0.86 once removed). At
+    // production scale the label table is O(vertices) and could never be
+    // broadcast anyway — shuffle joins are the only shape that survives
+    // 10^12 rows, so force them at every scale.
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.getOption(bcKey)
+    spark.conf.set(bcKey, "-1")
     try {
       // the 3-way union in symmetrize concatenates its parents' partitions
       // (3x the edge table's count): every one of the ~4 sym scans per
@@ -135,6 +146,10 @@ object ConnectedComponents {
       prevAqe match {
         case Some(v) => spark.conf.set(aqeKey, v)
         case None => spark.conf.unset(aqeKey)
+      }
+      prevBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None => spark.conf.unset(bcKey)
       }
     }
   }

@@ -257,8 +257,9 @@ object DedupPipeline {
     * smallest clip_id in the cluster (deterministic canonical pick, P11).
     *
     * Session scoping: run() temporarily overrides the session-global
-    * `spark.sql.shuffle.partitions` (and [[ConnectedComponents.run]] toggles
-    * AQE) for its duration — it must OWN the SparkSession while running;
+    * `spark.sql.shuffle.partitions` and (at broadcast-pinned scale)
+    * `spark.sql.adaptive.enabled` for its duration — it must OWN the
+    * SparkSession while running;
     * callers with concurrent queries on the same session should hand it a
     * `spark.newSession()` clone.
     *
@@ -291,6 +292,26 @@ object DedupPipeline {
       if (cfg.broadcastLookups && nRows > cfg.broadcastLookupMaxRows)
         cfg.copy(broadcastLookups = false)
       else cfg
+    // With the lookup build sides pinned by broadcast hints, every join
+    // strategy in the pipeline is already decided at plan time and the
+    // exchange partitioning is the fixed clamp above — AQE's per-exchange
+    // materialize-and-replan buys nothing and costs a serial driver
+    // round-trip per query stage (measured A/B at 8 cores, same corpus,
+    // identical checksums: 41 jobs/75 stages with AQE vs 20/63 without,
+    // same summed task run-time, ~5% less wall). At huge-corpus scale the
+    // broadcast pin auto-falls-back (cfgEff above) and AQE stays ON — there
+    // its runtime skew-join splitting is worth the latency.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    if (cfgEff.broadcastLookups) spark.conf.set(aqeKey, "false")
+    // Every broadcast the pipeline WANTS is an explicit broadcast() hint
+    // (hints ignore this threshold); what the auto threshold adds is
+    // unwanted static-planner broadcasts of per-round or per-cluster tables
+    // (CC jump labels, assignments reps) that are rebuilt each use — serial
+    // build latency here, an O(vertices) broadcast OOM at production scale.
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.getOption(bcKey)
+    spark.conf.set(bcKey, "-1")
     val preexisting = sc.getPersistentRDDs.keySet
     try {
       val f = features(clips, cfgEff).persist(StorageLevel.MEMORY_AND_DISK)
@@ -309,7 +330,17 @@ object DedupPipeline {
         if (!preexisting.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
       }
       out
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      prevBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None => spark.conf.unset(bcKey)
+      }
+    }
   }
 
   /** Join clip ids to CC labels; absent vertices are their own singleton

@@ -220,6 +220,28 @@ final class FreqSketch private (
     bb.array()
   }
 
+  /** Human-readable exact image (reference F7 debug surface,
+    * `FrequentItems.java:382-419` toString / StringToFrequentItems):
+    * header of the scalar state, then `key:storedValue` pairs sorted by
+    * key (deterministic — the open table's physical order is not).
+    * Round-trips exactly through [[FreqSketch.fromString]]. */
+  override def toString: String = {
+    val sb = new StringBuilder
+    sb.append(k).append(',').append(_offset).append(',')
+      .append(_mergeError).append(',').append(_streamLength)
+      .append(',').append(size)
+    val pairs = new scala.collection.mutable.ArrayBuffer[(Long, Long)](size)
+    var i = 0
+    while (i < keys.length) {
+      if (occupied(i)) pairs += ((keys(i), values(i)))
+      i += 1
+    }
+    pairs.sortBy(_._1).foreach { case (kk, v) =>
+      sb.append(',').append(kk).append(':').append(v)
+    }
+    sb.toString()
+  }
+
   private[sketch] def insertRaw(key: Long, storedValue: Long): Unit = {
     insert(key, storedValue)
   }
@@ -245,6 +267,26 @@ object FreqSketch {
   }
 
   def apply(k: Int): FreqSketch = new FreqSketch(k)
+
+  /** Inverse of [[FreqSketch#toString]] (reference
+    * `FrequentItems.StringToFrequentItems`, FrequentItems.java:397-419). */
+  def fromString(s: String): FreqSketch = {
+    val tokens = s.split(",")
+    require(tokens.length >= 5,
+      s"FreqSketch string needs >= 5 header fields, got ${tokens.length}")
+    val sk = new FreqSketch(tokens(0).toInt)
+    val n = tokens(4).toInt
+    require(tokens.length == 5 + n,
+      s"FreqSketch string declares $n entries but carries ${tokens.length - 5}")
+    var i = 0
+    while (i < n) {
+      val kv = tokens(5 + i).split(":")
+      sk.insertRaw(kv(0).toLong, kv(1).toLong)
+      i += 1
+    }
+    sk.setMeta(tokens(1).toLong, tokens(2).toLong, tokens(3).toLong)
+    sk
+  }
 
   def deserialize(bytes: Array[Byte]): FreqSketch = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -103,6 +103,29 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(other.merge(back).estimate(5) == 3)
   }
 
+  test("string serde round-trips exactly (reference FrequentItems.java:382-419)") {
+    val sk = FreqSketch(32)
+    val rng = new scala.util.Random(7)
+    val stream = Seq.fill(5000)(rng.nextInt(200).toLong)
+    stream.foreach(sk.update(_))
+    val s = sk.toString
+    val back = FreqSketch.fromString(s)
+    assert(back.k == sk.k)
+    assert(back.streamLength == sk.streamLength)
+    assert(back.offset == sk.offset)
+    assert(back.mergeError == sk.mergeError)
+    assert(back.numActive == sk.numActive)
+    (0L until 200L).foreach { k =>
+      assert(back.estimate(k) == sk.estimate(k))
+      assert(back.upperBound(k) == sk.upperBound(k))
+    }
+    // deterministic: same logical state stringifies identically
+    assert(back.toString == s)
+    // empty sketch
+    assert(FreqSketch.fromString(FreqSketch(8).toString).isEmpty)
+    assertThrows[IllegalArgumentException](FreqSketch.fromString("1,2"))
+  }
+
   test("weighted updates and invalid arguments") {
     val sk = FreqSketch(64)
     sk.update(1, 100)
