@@ -265,7 +265,7 @@ object Bench {
     // (both levels consistently show rep-over-rep decline — JIT + page
     // cache still warming after the single warmup iteration — so every
     // level gets at least 3 measured reps to converge on steady state)
-    val reps = prop("graft.benchReps", if (cores >= 8) "4" else "3").toInt
+    val reps = prop("graft.benchReps", if (cores >= 8) "5" else "3").toInt
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum

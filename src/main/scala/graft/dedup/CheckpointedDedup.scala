@@ -55,6 +55,34 @@ object CheckpointedDedup {
           cfg: DedupConfig = DedupConfig.default,
           stopAfter: Option[String] = None,
           maxCcRounds: Int = 50): Option[DataFrame] = {
+    // same session scoping as DedupPipeline.run: the composed stages carry
+    // explicit broadcast hints, so AQE re-planning is pure serial latency
+    // at pinned scale, and the static planner must not broadcast per-round
+    // label tables (O(vertices) — see ConnectedComponents.run)
+    val spark = clips.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevBc = spark.conf.getOption(bcKey)
+    if (cfg.broadcastLookups) spark.conf.set(aqeKey, "false")
+    spark.conf.set(bcKey, "-1")
+    try runStages(clips, workDir, cfg, stopAfter, maxCcRounds)
+    finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      prevBc match {
+        case Some(v) => spark.conf.set(bcKey, v)
+        case None => spark.conf.unset(bcKey)
+      }
+    }
+  }
+
+  private def runStages(clips: DataFrame, workDir: String,
+                        cfg: DedupConfig,
+                        stopAfter: Option[String],
+                        maxCcRounds: Int): Option[DataFrame] = {
     val spark = clips.sparkSession
 
     val features = stage(workDir, "features", Seq("input"), spark) {
