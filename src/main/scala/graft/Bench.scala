@@ -33,6 +33,13 @@ object Bench {
 
   private def prop(k: String, dflt: String): String = sys.props.getOrElse(k, dflt)
 
+  /** Bench-corpus parquet partition count: 32 makes the scan task count an
+    * exact multiple of every measured level (2/8/32 cores), so no level pays
+    * a ragged last wave in the features stage. (The previous 8x260MB layout
+    * split into 17 uneven tasks: at 8 cores that is 2 full waves plus ONE
+    * task holding 7 cores idle — measured ~1.3s of the 8-core wall.) */
+  private val CorpusParts = 32
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(prop("graft.master", s"local[$cores]"))
@@ -237,7 +244,8 @@ object Bench {
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
       // standalone child invocation: generate the corpus (path ends in _<n>)
       val n = corpusPath.split("_").last.toInt
-      CorpusGen.clips(spark, n).write.mode("overwrite").parquet(corpusPath)
+      CorpusGen.clips(spark, n, numPartitions = CorpusParts)
+        .write.mode("overwrite").parquet(corpusPath)
     }
     val clips = spark.read.parquet(corpusPath)
     def once(): (Double, Long) = {
@@ -245,7 +253,9 @@ object Bench {
       // experiment knobs (default = the frozen config; overriding changes
       // the candidate set and thus the checksum — A/B only, not the gate)
       val cfg = DedupConfig.default.copy(
-        maxBucketSize = prop("graft.cap", DedupConfig.default.maxBucketSize.toString).toInt)
+        maxBucketSize = prop("graft.cap", DedupConfig.default.maxBucketSize.toString).toInt,
+        fatShuffleFactor = prop("graft.fatFactor",
+          DedupConfig.default.fatShuffleFactor.toString).toInt)
       val checksum = assignmentChecksum(DedupPipeline.run(clips, cfg))
       val dt = (System.nanoTime() - t0) / 1e9
       // the pipeline self-cleans its internal caches (DedupPipeline.run);
@@ -279,8 +289,48 @@ object Bench {
         f"parUse=${taskMs.get / 1e3 / (r._1 * cores)}%.2f")
       r
     }
+    // -Dgraft.sample=true: in-process stack sampler over the executor task
+    // threads (external jstack/jcmd attach can't keep up with a pinned,
+    // saturated JVM) — prints a hot-frame histogram per iteration so CPU
+    // attribution inside the fat stages is measured, not guessed.
+    val sample = prop("graft.sample", "false").toBoolean
+    val sampler = if (!sample) null else {
+      val hist = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          val traces = Thread.getAllStackTraces()
+          traces.forEach { (th, st) =>
+            if (th.getName.startsWith("Executor task launch") && st.nonEmpty &&
+                th.getState == Thread.State.RUNNABLE) {
+              // attribute to the first frame that names actual work (skip
+              // pure runtime noise frames like Unsafe/ArrayData accessors)
+              val f = st.iterator.map(_.toString).find { s =>
+                s.contains("graft") || s.contains("spark.sql.catalyst") ||
+                  s.contains("codegen") || s.contains("lz4") || s.contains("Lz4") ||
+                  s.contains("shuffle") || s.contains("io.") || s.contains("parquet")
+              }.getOrElse(st(0).toString)
+              hist.computeIfAbsent(f, _ => new java.util.concurrent.atomic.LongAdder).increment()
+            }
+          }
+          Thread.sleep(37)
+        }
+      }, "graft-sampler")
+      t.setDaemon(true); t.start()
+      (hist, stop, t)
+    }
     iter("warmup")
     val runs = (1 to reps).map { i => System.gc(); iter(i.toString) }
+    if (sampler != null) {
+      sampler._2.set(true)
+      import scala.jdk.CollectionConverters._
+      val rows = sampler._1.asScala.toSeq.map { case (k, v) => (k, v.sum) }.sortBy(-_._2)
+      val total = math.max(1L, rows.map(_._2).sum)
+      System.err.println(s"SAMPLER total=$total")
+      rows.take(40).foreach { case (k, v) =>
+        System.err.println(f"SAMPLE ${v * 100.0 / total}%5.1f%% $v%6d  $k")
+      }
+    }
     require(runs.map(_._2).distinct.size == 1,
       s"non-deterministic repeat: ${runs.map(_._2).mkString(",")}")
     println(s"CHILD_RESULT ${runs.map(_._1).min} ${runs.head._2}")
@@ -370,7 +420,8 @@ object Bench {
     // ---- dedup corpus (untimed) -------------------------------------------
     val corpusPath = s"/tmp/graft_bench_corpus_$dedupN"
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
-      CorpusGen.clips(spark0, dedupN).write.mode("overwrite").parquet(corpusPath)
+      CorpusGen.clips(spark0, dedupN, numPartitions = CorpusParts)
+        .write.mode("overwrite").parquet(corpusPath)
     }
     spark0.stop()
     SparkSession.clearActiveSession()

@@ -59,6 +59,16 @@ final case class DedupConfig(
       * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,
       * but partition-dependent near the threshold). */
     sketchHotKeys: Boolean = false,
+    /** shuffle-partition multiplier for the pipeline's FAT stages (bucket
+      * pair generation + pair aggregation + verification): these few stages
+      * carry nearly all the task time, and at partitions == cores one
+      * straggler (a partition that drew the hottest bucket keys) holds
+      * every other core idle for the stage tail. Factor 2 halves the
+      * expected tail at ~0.2 core-sec of fixed per-task cost. The CC loop
+      * and output stages stay at the unmultiplied clamp (their per-stage
+      * work is tiny; extra tasks there are pure scheduling overhead).
+      * Results are partitioning-independent (checksum-gated). */
+    fatShuffleFactor: Int = 1,
     /** minimum winnow-lane co-emissions for a pair to enter the substring-
       * containment verification. Winnowing guarantees >= 2 shared selected
       * fingerprints for a shared run >= winnowWindow + winnowK - 1 +

@@ -66,6 +66,24 @@ object CandidatePairs {
     if (cfg.sketchHotKeys) hotKeysSketch(buckets, threshold)
     else hotKeysExact(buckets, threshold)
 
+  /** Stitch the salt groups of one split hot bucket: every group minimum
+    * pairs with the smallest minimum (a STAR, not a path). Same candidate
+    * count as the old adjacent-rep chain, but the stitched component has
+    * diameter 2 instead of #salts — for a bucket split into 1024 salt
+    * groups the min-label CC loop previously needed O(log 1024) extra
+    * pointer-jump rounds just to collapse the connector path; the star
+    * collapses in one propagate. (Connectivity class is identical; which
+    * CANDIDATE pairs are emitted differs, and all of them still pass
+    * through exact verification like any other candidate.) */
+  private def starChain(reps: Array[Long], lane: Int): Iterator[(Long, Long, Int)] = {
+    if (reps.length < 2) return Iterator.empty
+    var min = reps(0)
+    var i = 1
+    while (i < reps.length) { if (reps(i) < min) min = reps(i); i += 1 }
+    val m = min
+    reps.iterator.filter(_ != m).map(r => (math.min(m, r), math.max(m, r), lane))
+  }
+
   /** Expand sorted in-bucket ids to pairs: all-pairs when |ids| <= cap,
     * else sliding window of `Window` (bounded degree). */
   private def expand(ids: Array[Long], cap: Int): Iterator[(Long, Long)] = {
@@ -206,11 +224,7 @@ object CandidatePairs {
           expand(g, cap).map { case (a, b) => (a, b, lane) }
         }
         val reps = built.iterator.filter(_.nonEmpty).map(_.head).toArray
-        val chainIt = Iterator.range(0, math.max(0, reps.length - 1)).map { j =>
-          val x = reps(j); val y = reps(j + 1)
-          (math.min(x, y), math.max(x, y), lane)
-        }
-        pairsIt ++ chainIt
+        pairsIt ++ starChain(reps, lane)
       }
 
       /** count > RunBuffer: bounded-memory streaming variant. salts is
@@ -253,10 +267,7 @@ object CandidatePairs {
         // chains built lazily AFTER the stream drains (++ is by-name)
         def chains: Iterator[(Long, Long, Int)] = {
           val reps = Iterator.range(0, salts).filter(seen(_)).map(mins(_)).toArray
-          Iterator.range(0, math.max(0, reps.length - 1)).map { j =>
-            val x = reps(j); val y = reps(j + 1)
-            (math.min(x, y), math.max(x, y), lane)
-          }
+          starChain(reps, lane)
         }
         windowed ++ chains
       }
@@ -343,13 +354,7 @@ object CandidatePairs {
       .agg(sort_array(collect_list(struct($"salt", $"minId"))).as("reps"))
       .select($"bkey".bitwiseAND(lit(3L)).cast("int").as("li"), $"reps.minId".as[Array[Long]])
       .as[(Int, Array[Long])]
-      .flatMap { case (li, reps) =>
-        if (reps.length < 2) Iterator.empty
-        else Iterator.range(0, reps.length - 1).map { i =>
-          val x = reps(i); val y = reps(i + 1)
-          (math.min(x, y), math.max(x, y), 1 << li)
-        }
-      }
+      .flatMap { case (li, reps) => starChain(reps, 1 << li) }
       .toDF("a", "b", "lane")
 
     aggregatePairs(within.union(chains))

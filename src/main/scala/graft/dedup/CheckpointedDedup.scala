@@ -110,7 +110,8 @@ object CheckpointedDedup {
       }
       return Some(assignments)
     }
-    val sym = ConnectedComponents.symmetrize(edges).localCheckpoint(true)
+    val sym = ConnectedComponents.checkpointedSym(edges,
+      math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt))
     var labels: DataFrame = null
     var round = 0
     var converged = false

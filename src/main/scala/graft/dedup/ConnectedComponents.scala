@@ -35,6 +35,15 @@ object ConnectedComponents {
       .union(vertices.select($"src", $"src".as("dst")))
   }
 
+  /** Symmetrized edges repartitioned AND sorted by the propagate-join key,
+    * then eagerly checkpointed: localCheckpoint preserves
+    * outputPartitioning/outputOrdering in the LogicalRDD it leaves behind,
+    * so every per-round propagate join streams sym in place — no sym
+    * exchange, no sym sort, in any round. One shuffle buys zero per round. */
+  def checkpointedSym(edges: DataFrame, p: Int): DataFrame =
+    symmetrize(edges).repartition(p, col("src"))
+      .sortWithinPartitions(col("src")).localCheckpoint(true)
+
   /** Initial labels: every vertex labels itself. */
   def initLabels(sym: DataFrame): DataFrame = {
     import sym.sparkSession.implicits._
@@ -114,14 +123,11 @@ object ConnectedComponents {
     val prevBc = spark.conf.getOption(bcKey)
     spark.conf.set(bcKey, "-1")
     try {
-      // the 3-way union in symmetrize concatenates its parents' partitions
-      // (3x the edge table's count): every one of the ~4 sym scans per
-      // round then launches 3x the tasks — at ~170 ms fixed cost per task
-      // launch on this host that was the single biggest serial drag in the
-      // CC phase (measured r3: 24-task scans x 12 per run). coalesce is
-      // narrow (no shuffle) and the checkpoint stores the merged layout.
+      // previously the 25 MB sym table was re-exchanged ~4x per round (the
+      // 3-way union in symmetrize has no useful partitioning); now only the
+      // few-MB label table moves per round — see [[checkpointedSym]]
       val p = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      val sym = symmetrize(edges).coalesce(p).localCheckpoint(true)
+      val sym = checkpointedSym(edges, p)
       var labels = initLabels(sym).localCheckpoint(true)
       var prevSum = labelSum(labels)
       var iter = 0

@@ -282,8 +282,11 @@ object DedupPipeline {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val nRows = clips.count()
-    val p = math.max(2L, math.min(prev.toLong, nRows / 2000L + 1L)).toString
-    spark.conf.set(key, p)
+    val p = math.max(2L, math.min(prev.toLong, nRows / 2000L + 1L))
+    // fat stages (pair gen / pair agg / verify) plan under p * factor —
+    // stage-tail insurance against bucket-key skew; everything downstream
+    // of the edge materialization plans under the plain clamp (see below)
+    spark.conf.set(key, (p * math.max(1, cfg.fatShuffleFactor)).toString)
     // broadcast-pinned verification lookups are only safe while one executor
     // can hold the corpus' slim+norm tables; beyond the row ceiling fall
     // back automatically and let AQE pick the join strategy (ADVICE r2:
@@ -317,6 +320,12 @@ object DedupPipeline {
       val f = features(clips, cfgEff).persist(StorageLevel.MEMORY_AND_DISK)
       val cands = candidates(f, cfgEff)
       val edges = verifiedEdges(f, cands, cfgEff).persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize the edge persist NOW: physical plans are drawn at action
+      // time, so this is the boundary between the fat-stage conf scope above
+      // (pair gen + verification execute inside this count) and the plain
+      // clamp the CC loop and output stages plan under below
+      edges.count()
+      spark.conf.set(key, p.toString)
       val labels = ConnectedComponents.run(edges, maxIter = 50)
       val out = assignments(f, labels).localCheckpoint(true)
       // release every cache the pipeline created (VERDICT r2: f/edges and
