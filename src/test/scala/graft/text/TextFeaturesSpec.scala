@@ -133,6 +133,22 @@ class TextFeaturesSpec extends AnyFunSuite {
     val f2 = TextFeatures.docFingerprint("hello world", 42)
     val f3 = TextFeatures.docFingerprint("hello world!", 42)
     assert(f1 == f2)
-    assert(f1 != f3)
+    assert(f3 != f1)
+  }
+
+  test("shingleSorted memo never aliases across shingle lengths or seeds") {
+    // the memo is executor-wide and outlives one query's config: the same
+    // text probed under a different k (or seed) must recompute, not reuse
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(
+      "the quick brown fox jumps over the lazy dog")
+    val k5a = TextFeatures.shingleSorted(u, 5, 42L)
+    val k3 = TextFeatures.shingleSorted(u, 3, 42L)
+    val k5s7 = TextFeatures.shingleSorted(u, 5, 7L)
+    val k5b = TextFeatures.shingleSorted(u, 5, 42L)
+    assert(k5a.sameElements(TextFeatures.shingleSet(u.toString, 5, 42L)))
+    assert(k3.sameElements(TextFeatures.shingleSet(u.toString, 3, 42L)))
+    assert(k5s7.sameElements(TextFeatures.shingleSet(u.toString, 5, 7L)))
+    assert(k5b.sameElements(k5a))
+    assert(!k3.sameElements(k5a))
   }
 }
