@@ -45,6 +45,46 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial agg:\n$plan")
   }
 
+  test("CC propagate round never re-exchanges the sym table") {
+    // checkpointedSym repartitions+sorts by the join key BEFORE the eager
+    // checkpoint; localCheckpoint preserves partitioning/ordering in the
+    // LogicalRDD, so under CC.run's conf scope (AQE off, auto-broadcast
+    // off — the label table is O(vertices) and must never broadcast) each
+    // per-round propagate join exchanges the LABEL side only. Re-shuffling
+    // the edge table every round is the shape that dies at 10^12 rows.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val p = math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sym = graft.dedup.ConnectedComponents.checkpointedSym(edges, p)
+      val labels = graft.dedup.ConnectedComponents.initLabels(sym).localCheckpoint(true)
+      val round = graft.dedup.ConnectedComponents.step(sym, labels)
+      val exec = round.queryExecution.executedPlan
+      // ancestor chains root→…→scan for every sym scan (2-col src/dst RDD)
+      def paths(n: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = n match {
+        case r: RDDScanExec if r.output.map(_.name) == Seq("src", "dst") => Seq(n :: anc)
+        case _ => n.children.flatMap(c => paths(c, n :: anc))
+      }
+      val symPaths = paths(exec, Nil)
+      assert(symPaths.nonEmpty, s"expected checkpointed sym scans:\n$exec")
+      symPaths.foreach { path => // scan-first; walk up to the first join
+        val belowJoin = path.takeWhile(n => !n.nodeName.contains("Join"))
+        assert(!belowJoin.exists(_.nodeName.contains("Exchange")),
+          s"sym re-exchanged before its propagate join:\n$exec")
+        assert(!belowJoin.exists(_.nodeName == "Sort"),
+          s"sym re-sorted before its propagate join (ordering not preserved):\n$exec")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("sketch aggregate runs as ObjectHashAggregate with partial merge") {
     val plan = SparkEntry.queries("q09_heavy_hitters_sketch")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
