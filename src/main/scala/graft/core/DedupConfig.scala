@@ -59,6 +59,14 @@ final case class DedupConfig(
       * vs the Misra-Gries sketch (O(k) driver bytes, the 10^12-row path,
       * but partition-dependent near the threshold). */
     sketchHotKeys: Boolean = false,
+    /** edge-count ceiling for the driver-local union-find CC fast path
+      * ([[graft.dedup.ConnectedComponents.runLocal]]): at or below this the
+      * verified dup graph is a few MB and ~15 scheduler round-trips of
+      * near-empty stages cost more than the whole contraction; above it the
+      * iterative min-label loop runs (the production path — the 160k-clip
+      * bench graph is ~5x this ceiling and always takes it). Output is
+      * bit-identical either way (checksum- and oracle-gated). */
+    ccLocalMaxEdges: Long = 100000L,
     /** shuffle-partition multiplier for the pipeline's FAT stages (bucket
       * pair generation + pair aggregation + verification): these few stages
       * carry nearly all the task time, and at partitions == cores one

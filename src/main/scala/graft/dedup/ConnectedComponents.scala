@@ -97,6 +97,62 @@ object ConnectedComponents {
     if (d == null) java.math.BigDecimal.ZERO else d
   }
 
+  /** Driver-local union-find for SMALL tail graphs. Same output contract as
+    * [[run]]: (id, label) with label = min id in the component — the min of
+    * a component is independent of union order, so the result is
+    * bit-identical to the distributed loop's fixpoint.
+    *
+    * Scale contract: this is the small-graph fast path ONLY — callers gate
+    * on an edge count they already have (DedupPipeline counts edges to
+    * scope its conf anyway) with a threshold whose collect is trivially
+    * driver-safe (10^5 edges = 1.6 MB). The iterative loop in [[run]]
+    * remains THE production path and the one the 160k-clip bench exercises
+    * (~5x10^5 edges); a tiny dedup tail-graph simply does not need a
+    * cluster, and ~15 scheduler round-trips of 3-task stages cost more
+    * than the entire union-find. */
+  def runLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col("a"), col("b")).as[(Long, Long)].collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]
+    def at(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue()
+      else {
+        val i = ids.length
+        idx.put(x, Integer.valueOf(i)); ids += x; parent += i; i
+      }
+    }
+    def find(i0: Int): Int = { // path halving
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(at(a)); val rb = find(at(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // java.lang.Long values on purpose: a scala.Long value type would make
+    // `get` unbox absent (null) to 0 silently — caught by the equality spec
+    val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = Integer.valueOf(find(i))
+      val cur = minOf.get(r)
+      if (cur == null || ids(i) < cur.longValue()) minOf.put(r, java.lang.Long.valueOf(ids(i)))
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) {
+      out(i) = (ids(i), minOf.get(Integer.valueOf(find(i))).longValue())
+      i += 1
+    }
+    spark.createDataset(out.toSeq).toDF("id", "label")
+  }
+
   /** @param edges DataFrame with long columns (a, b) — undirected unique pairs.
     * @return DataFrame (id: Long, label: Long) — label = min id in component.
     */

@@ -324,9 +324,11 @@ object DedupPipeline {
       // time, so this is the boundary between the fat-stage conf scope above
       // (pair gen + verification execute inside this count) and the plain
       // clamp the CC loop and output stages plan under below
-      edges.count()
+      val edgeCount = edges.count()
       spark.conf.set(key, p.toString)
-      val labels = ConnectedComponents.run(edges, maxIter = 50)
+      val labels =
+        if (edgeCount <= cfgEff.ccLocalMaxEdges) ConnectedComponents.runLocal(edges)
+        else ConnectedComponents.run(edges, maxIter = 50)
       val out = assignments(f, labels).localCheckpoint(true)
       // release every cache the pipeline created (VERDICT r2: f/edges and
       // the CC-round localCheckpoint RDDs leaked into long-lived sessions):

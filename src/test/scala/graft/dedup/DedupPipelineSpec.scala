@@ -90,4 +90,23 @@ class DedupPipelineSpec extends AnyFunSuite with SparkTest {
     assert(recovered.toDouble / truncIdx.size >= 0.99,
       s"only $recovered/${truncIdx.size} truncation members recovered")
   }
+
+  test("driver-local union-find CC equals the distributed min-label loop") {
+    import spark.implicits._
+    // chain + triangle + singleton-edge + high-id star: covers merge order,
+    // transitivity, and label-min-through-intermediate cases
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 7L), // chain with min in the middle
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (40L, 41L), // pair
+      (100L, 50L), (100L, 60L), (100L, 70L) // star centered on a non-min id
+    ).toDF("a", "b")
+    val local = ConnectedComponents.runLocal(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val dist = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(local == dist)
+    assert(local.toMap.apply(7L) == 3L) // chain contracts to the min id
+    assert(local.toMap.apply(100L) == 50L)
+  }
 }
