@@ -82,6 +82,44 @@ object SuffixArray {
     var i = 0
     while (i < n) { rank(i) = text.charAt(i).toInt; i += 1 }
 
+    // Packed fast path for n < 2^20 (any realistic normalized transcript;
+    // containers here are single documents, not the concatenated corpus):
+    // rank (< 2^20 — initial char ranks are < 2^16), rank2+1 (<= n) and the
+    // suffix index each fit 20 bits, so each doubling level sorts ONE
+    // primitive Array[Long] with Arrays.sort — no boxed comparator, no
+    // order/newSa scratch arrays. Stack sampling put the boxed sortBy
+    // build at 6.5% of all pipeline task CPU.
+    if (n < (1 << 20)) {
+      val packed = new Array[Long](n)
+      var k = 1
+      while (k < n) {
+        val kk = k
+        i = 0
+        while (i < n) {
+          val r2 = if (i + kk < n) rank(i + kk) + 1 else 0
+          packed(i) = (rank(i).toLong << 40) | (r2.toLong << 20) | i.toLong
+          i += 1
+        }
+        java.util.Arrays.sort(packed)
+        var prevKey = -1L
+        var r = -1
+        i = 0
+        while (i < n) {
+          val p = packed(i)
+          val key = p >>> 20
+          if (key != prevKey) { r += 1; prevKey = key }
+          val idx = (p & 0xfffff).toInt
+          sa(i) = idx
+          tmp(idx) = r
+          i += 1
+        }
+        System.arraycopy(tmp, 0, rank, 0, n)
+        if (r == n - 1) k = n // all ranks distinct: done
+        else k <<= 1
+      }
+      return new SuffixArray(text, sa)
+    }
+
     var k = 1
     while (k < n) {
       val kk = k
