@@ -353,8 +353,15 @@ object Bench {
     * rounds) so scans parallelize. `events` is copied verbatim — the
     * streaming queries stage it as a single source file. */
   private def stageSfTables(spark: SparkSession, sfDir: String, parts: Int): String = {
+    // cache key folds each source file's (name, length, mtime) so regenerated
+    // sf fixtures invalidate the staged copy instead of silently serving
+    // stale parquet to oracle-gated queries (ADVICE r3)
+    val src = new java.io.File(sfDir)
+    val sig = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
     val tag = java.lang.Long.toHexString(
-      graft.core.Murmur3.hashString(new java.io.File(sfDir).getCanonicalPath, 21L))
+      graft.core.Murmur3.hashString(src.getCanonicalPath + "|" + sig, 21L))
     val out = s"/tmp/graft_sf_staged_${tag}_$parts"
     val done = new java.io.File(s"$out/_STAGED")
     if (!done.exists()) {
@@ -426,7 +433,7 @@ object Bench {
     try org.apache.spark.sql.graftshim.PlanShim.stopStateStoreMaintenance()
     catch { case _: Throwable => () }
     // ---- dedup corpus (untimed) -------------------------------------------
-    val corpusPath = s"/tmp/graft_bench_corpus_$dedupN"
+    val corpusPath = s"/tmp/graft_bench_corpus_v${CorpusGen.FormatVersion}_$dedupN"
     if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
       CorpusGen.clips(spark0, dedupN, numPartitions = CorpusParts)
         .write.mode("overwrite").parquet(corpusPath)

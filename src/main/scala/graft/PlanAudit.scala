@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * profiler). Run: sbt "runMain graft.PlanAudit [corpusPath]". */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse("/tmp/graft_bench_corpus_160000")
+    val path = args.headOption.getOrElse(s"/tmp/graft_bench_corpus_v${graft.corpus.CorpusGen.FormatVersion}_160000")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-plan-audit")
       .config("spark.sql.shuffle.partitions", "4")

@@ -35,6 +35,13 @@ final case class TruthRow(
   */
 object CorpusGen {
 
+  /** Generator format version — folded into every on-disk cache key
+    * ([[clipsCached]], the bench corpus path) so a generator change
+    * invalidates stale parquet instead of silently serving it to
+    * oracle-gated queries (ADVICE r3). BUMP THIS whenever any constant or
+    * algorithm below changes the rendered corpus bytes. */
+  final val FormatVersion = 1
+
   final val Vocab: Array[String] = {
     // deterministic ~5k-word vocabulary of pronounceable syllable words
     val syll = Array("ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
@@ -275,7 +282,7 @@ object CorpusGen {
     * OPERATOR over stored data, like production reads Iceberg (VERDICT r2).
     * The roundtrip is exact: binary/int/string columns only. */
   def clipsCached(spark: SparkSession, n: Int, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
-    val dir = s"/tmp/graft_corpus_cache_${n}_$seed"
+    val dir = s"/tmp/graft_corpus_cache_v${FormatVersion}_${n}_$seed"
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
       clips(spark, n, seed).write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)

@@ -55,18 +55,27 @@ object CheckpointedDedup {
           cfg: DedupConfig = DedupConfig.default,
           stopAfter: Option[String] = None,
           maxCcRounds: Int = 50): Option[DataFrame] = {
-    // same session scoping as DedupPipeline.run: the composed stages carry
-    // explicit broadcast hints, so AQE re-planning is pure serial latency
-    // at pinned scale, and the static planner must not broadcast per-round
-    // label tables (O(vertices) — see ConnectedComponents.run)
+    // same session scoping AND the same broadcast graceful degrade as
+    // DedupPipeline.run (ADVICE r3): the composed stages carry explicit
+    // broadcast hints, so AQE re-planning is pure serial latency at pinned
+    // scale and the static planner must not broadcast per-round label
+    // tables (O(vertices) — see ConnectedComponents.run); but above the
+    // row ceiling the broadcast pin must fall back to AQE-chosen joins —
+    // a resumable run over a huge corpus degrades to sort-merge, it does
+    // not OOM the build side where the non-checkpointed path would not.
     val spark = clips.sparkSession
+    val nRows = clips.count()
+    val cfgEff =
+      if (cfg.broadcastLookups && nRows > cfg.broadcastLookupMaxRows)
+        cfg.copy(broadcastLookups = false)
+      else cfg
     val aqeKey = "spark.sql.adaptive.enabled"
     val bcKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevAqe = spark.conf.getOption(aqeKey)
     val prevBc = spark.conf.getOption(bcKey)
-    if (cfg.broadcastLookups) spark.conf.set(aqeKey, "false")
+    if (cfgEff.broadcastLookups) spark.conf.set(aqeKey, "false")
     spark.conf.set(bcKey, "-1")
-    try runStages(clips, workDir, cfg, stopAfter, maxCcRounds)
+    try runStages(clips, workDir, cfgEff, stopAfter, maxCcRounds)
     finally {
       prevAqe match {
         case Some(v) => spark.conf.set(aqeKey, v)

@@ -375,6 +375,11 @@ object GraftFunctions {
     * (same multi-hash trick as CountMin.java:118-121). */
   case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long)
       extends UnaryExpression with CodegenFallback {
+    // fail at construction (plan time), not mid-query: the sig packs one bit
+    // per plane into a Long, and nPlanes == 0 would leave planeCache an
+    // empty array whose regrow check then throws on the second row
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"hyperplane_sig nPlanes must be in [1, 64], got $nPlanes")
     override def dataType: DataType = LongType
 
     /** Plane matrix cache: the coords are a pure function of (seed, plane,

@@ -25,7 +25,7 @@ object DebugEdges {
       val t0 = System.nanoTime(); val r = f
       println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
-    val corpus = s"/tmp/graft_bench_corpus_$n"
+    val corpus = s"/tmp/graft_bench_corpus_v${graft.corpus.CorpusGen.FormatVersion}_$n"
     val clips = spark.read.parquet(corpus)
     val f = DedupPipeline.features(clips, cfg).persist()
     timed("features")(f.count())

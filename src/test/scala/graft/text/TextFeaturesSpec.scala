@@ -151,4 +151,33 @@ class TextFeaturesSpec extends AnyFunSuite {
     assert(k5b.sameElements(k5a))
     assert(!k3.sameElements(k5a))
   }
+
+  test("shingle memo is byte-bounded and evicts to half, not to zero") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val prevCap = TextFeatures.memoMaxBytes
+    TextFeatures.memoClear()
+    TextFeatures.memoMaxBytes = 64L << 10 // 64 KB budget for the test
+    try {
+      // each distinct text yields ~96 shingles (~832B entry incl. overhead);
+      // 4x the budget's worth of distinct texts forces several evictions
+      val texts = (0 until 320).map(i => s"document number $i " + ("lorem ipsum " * 8))
+      texts.foreach(t => TextFeatures.shingleSorted(UTF8String.fromString(t), 5, 42L))
+      val (entries, bytes) = TextFeatures.memoStats
+      // bounded: never above the budget (+1 entry of slack for the in-flight put)
+      assert(bytes <= (64L << 10) + 2048, s"memo bytes $bytes exceed budget")
+      // evict-to-half, not clear(): a populated memo must survive overflow
+      assert(entries > 0, "memo was cleared wholesale on overflow")
+      // verdicts are unaffected by cache state: a text evicted and re-probed
+      // returns the same shingle set as a fresh computation
+      val re = TextFeatures.shingleSorted(UTF8String.fromString(texts.head), 5, 42L)
+      assert(re.sameElements(TextFeatures.shingleSet(texts.head, 5, 42L)))
+      // a repeat probe of a resident text is a HIT (same frozen instance,
+      // zero recompute) — the property the memo exists for
+      val again = TextFeatures.shingleSorted(UTF8String.fromString(texts.head), 5, 42L)
+      assert(again eq re, "resident entry re-probed must be a cache hit")
+    } finally {
+      TextFeatures.memoMaxBytes = prevCap
+      TextFeatures.memoClear()
+    }
+  }
 }
