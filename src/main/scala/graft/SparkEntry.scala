@@ -405,6 +405,34 @@ object SparkEntry {
           max(col("rms")).as("max_rms"))
         .orderBy(col("codec"))
     }),
+    "p04_resume_assignments" -> ((s, _) => {
+      // North-rule resumability as a driver-checked query (VERDICT r3 #2):
+      // run the snapshot-checkpointed pipeline and KILL it after the first
+      // committed CC round, then restart from the snapshot log and finish.
+      // The resumed run's assignments must equal the independent brute-force
+      // oracle — the same hard gate as p01, but reached through a
+      // checkpoint→kill→resume lifecycle instead of one uninterrupted run.
+      OracleDump.dedupAssignExpected(s, 1000, s"${OracleDump.dir}/p04")
+      val clips = CorpusGen.clipsCached(s, 1000)
+      val workDir = "/tmp/graft_p04_work"
+      // fresh workDir per invocation: with committed snapshots left behind,
+      // the "kill" would be a no-op read and nothing would be resumed
+      val root = java.nio.file.Paths.get(workDir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val killed = graft.dedup.CheckpointedDedup.run(
+        clips, workDir, DedupConfig.default, stopAfter = Some("labels_round_0"))
+      require(killed.isEmpty,
+        "p04 kill hook did not fire: CC converged before round 0 committed")
+      val resumed = graft.dedup.CheckpointedDedup.run(clips, workDir, DedupConfig.default)
+        .getOrElse(sys.error("p04 resume returned no assignments"))
+      resumed
+        .select(col("clip_id"), col("cluster"), col("rep_clip_id"), col("is_rep"))
+        .orderBy(col("clip_id"))
+    }),
     "s01_stream_window" -> ((s, d) => {
       // Structured Streaming product surface (C11): file-source stream over
       // the events table, event-time tumbling window + watermark, per-window
@@ -554,6 +582,9 @@ object SparkEntry {
     "p02_dedup_survivors" ->
       s"""SELECT clip_id, sr_hz, dur_ms, codec
          |FROM read_parquet('${OracleDump.dir}/p02/*.parquet') ORDER BY clip_id""".stripMargin,
+    "p04_resume_assignments" ->
+      s"""SELECT clip_id, cluster, rep_clip_id, is_rep
+         |FROM read_parquet('${OracleDump.dir}/p04/*.parquet') ORDER BY clip_id""".stripMargin,
     "p03_audio_stats" ->
       s"""SELECT codec, n, total_samples, min_rms, max_rms
          |FROM read_parquet('${OracleDump.dir}/p03/*.parquet') ORDER BY codec""".stripMargin,
