@@ -36,6 +36,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// forward builder-iteration knobs (-Dgraft.*) from the sbt JVM to the
+// forked run JVM: `run / fork := true` means command-line -D flags land in
+// sbt's own JVM and would otherwise silently not reach graft.Bench & co.
+javaOptions ++= sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

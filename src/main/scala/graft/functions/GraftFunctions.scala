@@ -425,6 +425,66 @@ object GraftFunctions {
     override def prettyName: String = "graft_hyperplane_sig"
   }
 
+  /** ivf_cells(vec): ids of the `nprobe` nearest coarse-quantizer centroids
+    * by cosine (ties broken by smaller cid). The centroid bank — a run
+    * constant of nlist×(dim floats + id) — is carried IN the expression, so
+    * assigning 10^12 base vectors to cells is one narrow projection: no
+    * nlist-way row expansion through a BroadcastNestedLoopJoin, no argmax
+    * groupBy shuffle, no join of the assignment back to the embeddings
+    * (the r3 shape paid all three). At cluster scale the bank serializes
+    * with the task closure exactly like any literal (~nlist·dim·4 bytes —
+    * 256 KB at nlist=1024, dim=64).
+    *
+    * Cosine arithmetic matches [[cosineSimData]] (double accumulation), so
+    * cell assignment agrees with what a per-pair cosine_sim argmax computed.
+    */
+  case class IvfCells(child: Expression, cids: Array[Long],
+                      cents: Array[Array[Float]], nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(cents.nonEmpty && cids.length == cents.length,
+      "ivf_cells needs a non-empty centroid bank with matching ids")
+    require(nprobe >= 1, "ivf_cells nprobe must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData]
+      val k = math.min(nprobe, cents.length)
+      val topSim = new Array[Double](k)
+      val topCid = new Array[Long](k)
+      var filled = 0
+      @inline def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
+        s > s2 || (s == s2 && id < id2)
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        val n = math.min(vec.numElements(), cent.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = vec.getFloat(i).toDouble; val y = cent(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        val cid = cids(c)
+        if (filled < k || better(sim, cid, topSim(k - 1), topCid(k - 1))) {
+          var pos = if (filled < k) filled else k - 1
+          while (pos > 0 && better(sim, cid, topSim(pos - 1), topCid(pos - 1))) {
+            topSim(pos) = topSim(pos - 1); topCid(pos) = topCid(pos - 1)
+            pos -= 1
+          }
+          topSim(pos) = sim; topCid(pos) = cid
+          if (filled < k) filled += 1
+        }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOf(topCid, filled))
+    }
+    override protected def withNewChildInternal(c: Expression): IvfCells = copy(c)
+    override def prettyName: String = "graft_ivf_cells"
+  }
+
   // ------------------------------------------------------------ Column API
 
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -454,6 +514,8 @@ object GraftFunctions {
     col(AudioSnrDb(ex(ba), ex(ca), ex(bb), ex(cb)))
   def hyperplane_sig(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneSig(ex(c), nPlanes, seed))
+  def ivf_cells(c: Column, cids: Array[Long], cents: Array[Array[Float]], nprobe: Int): Column =
+    col(IvfCells(ex(c), cids, cents, nprobe))
   def lang_id(c: Column): Column = col(LangId(ex(c)))
   def quality_score(c: Column): Column = col(QualityScore(ex(c)))
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(ex(c)))

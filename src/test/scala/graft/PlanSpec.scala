@@ -85,6 +85,27 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ANN lanes plan no nested-loop join and no cartesian product") {
+    // the scale contract of both ANN paths (VERDICT r3 #5): LSH candidates
+    // come from an equi self-join on (table, bucket); IVF cell assignment is
+    // a PROJECTION (centroid bank inside the ivf_cells expression) and the
+    // probe join is an equi join on cell id. A BroadcastNestedLoopJoin or
+    // CartesianProduct anywhere means a per-row scan of the base table —
+    // the plan that dies at 10^12 vectors. (bruteForceTopK keeps one BY
+    // DESIGN: it is the exact baseline, not a scale path.)
+    val vecs = graft.corpus.EmbedGen.vectors(spark, 2000, numPartitions = 4)
+    val queries = vecs.where(col("vec_id") % 10 === 0)
+    for ((name, df) <- Seq(
+        "lshTopK" -> graft.ann.Ann.lshTopK(vecs, 3),
+        "ivfTopK" -> graft.ann.Ann.ivfTopK(queries, vecs, 3, nlist = 16, nprobe = 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("sketch aggregate runs as ObjectHashAggregate with partial merge") {
     val plan = SparkEntry.queries("q09_heavy_hitters_sketch")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

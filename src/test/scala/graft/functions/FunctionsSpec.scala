@@ -153,4 +153,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == "de")
     assert(out(3L) == "und")
   }
+
+  test("ivf_cells returns nearest centroids, sim-desc with cid-asc ties") {
+    import spark.implicits._
+    // cids 10 and 30 share a centroid: the tie must order 10 before 30
+    val cids = Array(10L, 20L, 30L)
+    val cents = Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 0f))
+    val df = Seq((1L, Seq(1f, 0.1f)), (2L, Seq(0.1f, 1f))).toDF("id", "v")
+    val out = df.orderBy("id")
+      .select(ivf_cells(col("v"), cids, cents, 3))
+      .collect().map(_.getSeq[Long](0))
+    assert(out(0) == Seq(10L, 30L, 20L))
+    assert(out(1) == Seq(20L, 10L, 30L))
+    // nprobe clamps to the bank size; degenerate nprobe fails at plan time
+    val one = df.select(ivf_cells(col("v"), cids, cents, 1)).collect()
+    assert(one.forall(_.getSeq[Long](0).length == 1))
+    intercept[IllegalArgumentException] {
+      GraftFunctions.IvfCells(null, cids, cents, 0)
+    }
+  }
 }
