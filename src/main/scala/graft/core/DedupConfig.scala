@@ -77,6 +77,14 @@ final case class DedupConfig(
       * work is tiny; extra tasks there are pure scheduling overhead).
       * Results are partitioning-independent (checksum-gated). */
     fatShuffleFactor: Int = 1,
+    /** exact 64-bit id guarantee: detect hash_id collisions across distinct
+      * clip_ids (one slim map-side-combined aggregation at ingest) and
+      * deterministically re-key the colliding clips
+      * ([[graft.dedup.ExactIds]]). Off by default — a collision is a
+      * ~3e4-in-10^12-rows event and every oracle/checksum gate runs the
+      * plain 64-bit path; turn on for corpora where a silent false merge is
+      * unacceptable. */
+    exactIds: Boolean = false,
     /** minimum winnow-lane co-emissions for a pair to enter the substring-
       * containment verification. Winnowing guarantees >= 2 shared selected
       * fingerprints for a shared run >= winnowWindow + winnowK - 1 +

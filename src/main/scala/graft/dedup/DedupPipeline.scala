@@ -29,7 +29,7 @@ object DedupPipeline {
     * one shingle walk per family). Only clip_id/transcript are selected, so
     * Catalyst prunes the audio `bytes` column out of the scan. */
   def features(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    clips
+    val f = clips
       .select(col("clip_id"), text_signatures(col("transcript")).as("sig"))
       .select(
         col("clip_id"),
@@ -41,6 +41,7 @@ object DedupPipeline {
         col("sig.nsh").as("nsh"),
         length(col("sig.norm")).as("nlen"))
       .withColumn("blocks", simhash_block_keys(col("simhash")))
+    if (cfg.exactIds) ExactIds.repair(f) else f
   }
 
   /** Lane bits carried on candidate pairs. */
