@@ -21,7 +21,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // -Dgraft.verifyFilter=e02,e04: dump only matching queries (builder
+    // iteration aid; the driver harness never sets it)
+    val filter = sys.props.getOrElse("graft.verifyFilter", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => filter.isEmpty || filter.exists(name.startsWith) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -392,9 +392,16 @@ object GraftFunctions {
       var pc = planeCache
       if (pc == null || pc(0).length < dim) {
         pc = Array.tabulate(nPlanes) { p =>
+          // one avalanche over (seed, p) FIRST: with the additive form
+          // (seed + 8000 + p) a multi-table caller using seeds seed+t —
+          // the standard construction — had table t plane p equal to table
+          // t+1 plane p-1, so "8 independent 16-plane tables" spanned 23
+          // distinct planes and their union recall collapsed (measured
+          // 0.67 vs the ~0.99 independent-table prediction at 1M vectors)
+          val planeSeed = graft.core.Murmur3.hashLong(p.toLong, seed + 8000L)
           Array.tabulate(dim) { i =>
             // deterministic pseudo-uniform plane coord in [-1, 1)
-            val h = graft.core.Murmur3.hashLong(i.toLong, seed + 8000L + p)
+            val h = graft.core.Murmur3.hashLong(i.toLong, planeSeed)
             (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
           }
         }
