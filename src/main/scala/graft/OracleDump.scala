@@ -131,6 +131,66 @@ object OracleDump {
     write(rows.toDF("doc_id", "cluster", "is_rep"), path)
   }
 
+  /** Expected d09 output: audio-content dup clusters from an O(n^2)
+    * sequential evaluation of the frozen [[graft.audio.SpectralSig]] pair
+    * predicate over the same encode->decode bytes the corpus parquet holds,
+    * plus union-find — fully outside the distributed bucketing/CC path the
+    * query exercises. The lane's block-bucketing is recall-complete for the
+    * predicate by pigeonhole (Hamming <= NumBlocks - 1), so the two edge
+    * sets — and therefore the transitive closures — must be identical. */
+  def audioDupExpected(spark: SparkSession, n: Int, path: String): Unit = {
+    if (!enabled) return
+    import spark.implicits._
+    write(audioDupRows(n).toDF("clip_id", "audio_cluster", "is_rep"), path)
+  }
+
+  /** The d09 sequential computation itself (also exercised directly by
+    * AudioDedupSpec without the parquet round-trip). */
+  def audioDupRows(n: Int): IndexedSeq[(String, Long, Boolean)] = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val pl = CorpusGen.plan(n, cfg.seed)
+    val sigs = new Array[GenericArrayData](n)
+    val fps = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val spec = CorpusGen.clipSpec(cfg.seed, i.toLong, pl)
+      val pcm = CorpusGen.referencePcm(spec.params, spec.gain)
+      val bytes = graft.audio.AudioCodec.encode(pcm, spec.codec)
+      val dec = graft.audio.AudioCodec.decode(bytes, spec.codec)
+      sigs(i) = new GenericArrayData(graft.audio.SpectralSig.sig(dec, spec.params.srHz))
+      fps(i) = graft.audio.SpectralSig.fp64(sigs(i))
+      i += 1
+    }
+    val root = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (root(r) != r) { root(r) = root(root(r)); r = root(r) }
+      r
+    }
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (graft.audio.SpectralSig.isDupPair(fps(i), fps(j), sigs(i), sigs(j))) {
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj) root(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val ids = Array.tabulate(n)(i => CorpusGen.clipId(i.toLong))
+    val members = (0 until n).groupBy(find)
+    val label = new Array[Long](n)
+    val rep = new Array[String](n)
+    members.values.foreach { idxs =>
+      val lbl = idxs.map(i => hashId(ids(i))).min
+      val r = idxs.map(ids(_)).min
+      idxs.foreach { i => label(i) = lbl; rep(i) = r }
+    }
+    (0 until n).map(i => (ids(i), label(i), ids(i) == rep(i)))
+  }
+
   /** Expected d08 output: SimHash block-bucket size histogram computed by a
     * sequential Scala pass (the shared TextFeatures primitives ARE the
     * contract; what this checks is the distributed explode/groupBy plumbing). */

@@ -379,6 +379,20 @@ object SparkEntry {
         .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
         .orderBy(col("group_size"))
     }),
+    "d09_audio_dup_groups" -> ((s, _) => {
+      // audio-CONTENT dedup lane: clips clustered by waveform (spectral
+      // fingerprint buckets -> verified pairs -> CC), independent of their
+      // transcripts/codec/gain. Oracle = sequential O(n^2) evaluation of the
+      // same frozen predicate + union-find, persisted for DuckDB — a hard
+      // assignment gate on the whole distributed lane (bucketing is
+      // recall-complete for the predicate by pigeonhole, so the edge sets
+      // must match exactly)
+      OracleDump.audioDupExpected(s, 500, s"${OracleDump.dir}/d09")
+      val clips = CorpusGen.clipsCached(s, 500)
+      graft.dedup.AudioDedup.run(clips)
+        .select(col("clip_id"), col("cluster").as("audio_cluster"), col("is_rep"))
+        .orderBy(col("clip_id"))
+    }),
     // ------------------------------------------- the dedup pipeline itself
     "p01_dedup_assignments" -> ((s, _) => {
       // flagship gate: pipeline assignments vs the persisted brute-force
@@ -602,6 +616,9 @@ object SparkEntry {
     "d03_minhash_clusters" ->
       s"""SELECT doc_id, cluster, is_rep
          |FROM read_parquet('${OracleDump.dir}/d03/*.parquet') ORDER BY doc_id""".stripMargin,
+    "d09_audio_dup_groups" ->
+      s"""SELECT clip_id, audio_cluster, is_rep
+         |FROM read_parquet('${OracleDump.dir}/d09/*.parquet') ORDER BY clip_id""".stripMargin,
     "d08_simhash_groups" ->
       s"""SELECT group_size, n_groups
          |FROM read_parquet('${OracleDump.dir}/d08/*.parquet') ORDER BY group_size""".stripMargin,

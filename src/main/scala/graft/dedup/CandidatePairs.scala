@@ -84,6 +84,31 @@ object CandidatePairs {
     reps.iterator.filter(_ != m).map(r => (math.min(m, r), math.max(m, r), lane))
   }
 
+  /** Salted fallback for an over-cap run shared by the packed and keyed
+    * paths: pmod-salted groups, window-capped expansion per group, star
+    * stitch over the salt-ordered group minima. Extracted verbatim from the
+    * packed path (the emitted pair set is a pure function of (bkey, arr, n,
+    * cap) — unchanged by the move). */
+  private def saltedRun(bkey: Long, lane: Int, arr: Array[Long], n: Int,
+                        cap: Int): Iterator[(Long, Long, Int)] = {
+    val salts = math.max(2L, math.min(MaxSalts.toLong, n.toLong / cap + 1L)).toInt
+    val groups = Array.fill(salts)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    var i = 0
+    while (i < n) {
+      val id = arr(i)
+      val h = graft.core.Murmur3.hashLong(id, bkey)
+      val s = ((h % salts) + salts) % salts
+      groups(s.toInt) += id
+      i += 1
+    }
+    val built = groups.map(_.result()) // each ascending (input sorted)
+    val pairsIt = built.iterator.flatMap { g =>
+      expand(g, cap).map { case (a, b) => (a, b, lane) }
+    }
+    val reps = built.iterator.filter(_.nonEmpty).map(_.head).toArray
+    pairsIt ++ starChain(reps, lane)
+  }
+
   /** Expand sorted in-bucket ids to pairs: all-pairs when |ids| <= cap,
     * else sliding window of `Window` (bounded degree). */
   private def expand(ids: Array[Long], cap: Int): Iterator[(Long, Long)] = {
@@ -203,28 +228,7 @@ object CandidatePairs {
         else if (n < 2) Iterator.empty
         else if (n < cap) expand(java.util.Arrays.copyOf(arr, n), cap)
           .map { case (a, b) => (a, b, lane) }
-        else saltedRun(bkey, lane, arr, n)
-      }
-
-      /** count >= cap (old hot path): pmod-salted groups, window-capped
-        * expansion per group, chains over salt-ordered group minima. */
-      def saltedRun(bkey: Long, lane: Int, arr: Array[Long], n: Int): Iterator[(Long, Long, Int)] = {
-        val salts = math.max(2L, math.min(MaxSalts.toLong, n.toLong / cap + 1L)).toInt
-        val groups = Array.fill(salts)(new scala.collection.mutable.ArrayBuilder.ofLong)
-        var i = 0
-        while (i < n) {
-          val id = arr(i)
-          val h = graft.core.Murmur3.hashLong(id, bkey)
-          val s = ((h % salts) + salts) % salts
-          groups(s.toInt) += id
-          i += 1
-        }
-        val built = groups.map(_.result()) // each ascending (input sorted)
-        val pairsIt = built.iterator.flatMap { g =>
-          expand(g, cap).map { case (a, b) => (a, b, lane) }
-        }
-        val reps = built.iterator.filter(_.nonEmpty).map(_.head).toArray
-        pairsIt ++ starChain(reps, lane)
+        else saltedRun(bkey, lane, arr, n, cap)
       }
 
       /** count > RunBuffer: bounded-memory streaming variant. salts is
@@ -270,6 +274,192 @@ object CandidatePairs {
           starChain(reps, lane)
         }
         windowed ++ chains
+      }
+
+      new Iterator[Iterator[(Long, Long, Int)]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[(Long, Long, Int)] = processRun()
+      }.flatten
+    }.toDF("a", "b", "lane")
+
+    aggregatePairs(emitted)
+  }
+
+  /** Depth guard for [[expandHamming]]: beyond this the group degrades to
+    * the salted-window fallback (data would have to be adversarially shaped
+    * — each level strictly shrinks both the group and the unpinned mask). */
+  final val MaxHamDepth = 16
+
+  /** Round-robin the set bits of `m` into `k` disjoint submasks (each
+    * nonempty when popcount(m) >= k). */
+  private[dedup] def splitMask(m: Long, k: Int): Array[Long] = {
+    val subs = new Array[Long](k)
+    var i = 0
+    var mm = m
+    while (mm != 0L) {
+      val b = java.lang.Long.lowestOneBit(mm)
+      subs(i % k) |= b
+      mm ^= b
+      i += 1
+    }
+    subs
+  }
+
+  /** Recursive-pigeonhole expansion of one bucket run for EXACT
+    * Hamming-<=maxHam candidate generation (HmSearch-style multi-level
+    * splitting, done locally because the run carries each member's full
+    * fingerprint).
+    *
+    * Invariant: all members agree on every fingerprint bit OUTSIDE `mask`
+    * (level 0 pins the bucket's own block; each level pins one submask
+    * more), so a pair's differing bits all lie inside `mask`.
+    *
+    *  - n <= cap: all-pairs — exact.
+    *  - over cap with > maxHam VARYING unpinned bits: split those bits into
+    *    maxHam+1 disjoint submasks and re-group by each submask's value. A
+    *    pair with <= maxHam diffs has a diff-free submask (pigeonhole), so
+    *    it lands intact in that submask's sub-group — recall-complete at
+    *    every level, and each sub-group is strictly smaller because every
+    *    submask contains a varying bit. Duplicate emissions across
+    *    branches collapse in [[aggregatePairs]].
+    *  - over cap with <= maxHam varying unpinned bits: EVERY pair already
+    *    satisfies the fingerprint predicate (diffs <= varying <= maxHam) —
+    *    a genuine fingerprint swarm. Degrade to the salted-window + star
+    *    fallback: connectivity holds when the swarm is verification-
+    *    homogeneous (members of a <=maxHam-diameter fp ball that also pass
+    *    the secondary check), the documented boundary shared with the text
+    *    lane's hub handling.
+    *
+    * This removes the recall leak the flat cap had: a low-entropy bucket
+    * (e.g. the all-quiet audio block value 0, Theta(corpus)-sized and
+    * heterogeneous) is re-split by the bits that distinguish its members
+    * instead of windowed, so no true pair is lost to salting. */
+  private def expandHamming(ids: Array[Long], fps: Array[Long], idx: Array[Int],
+                            mask: Long, cap: Int, maxHam: Int, lane: Int,
+                            bkey: Long, depth: Int): Iterator[(Long, Long, Int)] = {
+    val n = idx.length
+    if (n < 2) Iterator.empty
+    else if (n <= cap) {
+      for {
+        i <- Iterator.range(0, n)
+        j <- Iterator.range(i + 1, n)
+      } yield {
+        val a = ids(idx(i))
+        val b = ids(idx(j))
+        (math.min(a, b), math.max(a, b), lane)
+      }
+    } else {
+      var varying = 0L
+      val f0 = fps(idx(0))
+      var i = 1
+      while (i < n) { varying |= fps(idx(i)) ^ f0; i += 1 }
+      val m = mask & varying
+      if (java.lang.Long.bitCount(m) <= maxHam || depth >= MaxHamDepth) {
+        val arr = new Array[Long](n)
+        i = 0
+        while (i < n) { arr(i) = ids(idx(i)); i += 1 }
+        java.util.Arrays.sort(arr)
+        saltedRun(bkey, lane, arr, n, cap)
+      } else {
+        splitMask(m, maxHam + 1).iterator.filter(_ != 0L).flatMap { sm =>
+          val groups = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.ArrayBuilder.ofInt]
+          var j = 0
+          while (j < n) {
+            val v = fps(idx(j)) & sm
+            groups.getOrElseUpdate(v, new scala.collection.mutable.ArrayBuilder.ofInt) += idx(j)
+            j += 1
+          }
+          groups.valuesIterator.flatMap { g =>
+            expandHamming(ids, fps, g.result(), m & ~sm, cap, maxHam, lane, bkey, depth + 1)
+          }
+        }
+      }
+    }
+  }
+
+  /** Exact Hamming-join pair generation over (bkey, id, fp) bucket rows —
+    * the keyed sibling of [[pairsPackedExact]] for predicates of the form
+    * "Hamming(fp_a, fp_b) <= maxHam AND <secondary check>". Same
+    * single-exchange layout (repartition + sortWithinPartitions, 3-long
+    * rows, complete runs streamed per partition); over-cap runs recurse via
+    * [[expandHamming]] instead of windowing, so candidate recall for the
+    * Hamming budget is COMPLETE at any bucket size below `runBufferCap`
+    * (beyond it the same bounded-memory windowed drain as the packed path
+    * applies — a ~10^5-member single bucket, the documented boundary).
+    *
+    * `pinnedMask(bkey)` must return the fingerprint bits the level-0 bucket
+    * key already pins (the pigeonhole block the row was emitted for). */
+  def pairsHamming(packedIn: DataFrame, cfg: DedupConfig, maxHam: Int,
+                   fullMask: Long, pinnedMask: Long => Long): DataFrame = {
+    val spark = packedIn.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucketSize
+    val runBuffer = math.min(Int.MaxValue.toLong,
+      math.max(cap.toLong * MaxSalts, cfg.runBufferCap.toLong)).toInt
+
+    val parts = packedIn
+      .repartition(col("bkey"))
+      .sortWithinPartitions(col("bkey"), col("id"))
+      .select(col("bkey"), col("id"), col("fp")).as[(Long, Long, Long)]
+
+    val emitted = parts.mapPartitions { it0 =>
+      val it = it0.buffered
+
+      def processRun(): Iterator[(Long, Long, Int)] = {
+        val bkey = it.head._1
+        val lane = 1 << (bkey & 3L).toInt
+        var ids = new Array[Long](16)
+        var fs = new Array[Long](16)
+        var n = 0
+        while (it.hasNext && it.head._1 == bkey && n < runBuffer) {
+          if (n == ids.length) {
+            ids = java.util.Arrays.copyOf(ids, ids.length << 1)
+            fs = java.util.Arrays.copyOf(fs, fs.length << 1)
+          }
+          val r = it.next()
+          ids(n) = r._2
+          fs(n) = r._3
+          n += 1
+        }
+        if (it.hasNext && it.head._1 == bkey) {
+          // beyond runBuffer: bounded-memory windowed drain (ids only),
+          // mirroring the packed path's overflowRun boundary
+          val salts = MaxSalts
+          val win = Window - 1
+          val rings = Array.ofDim[Long](salts, win)
+          val counts = new Array[Long](salts)
+          val mins = new Array[Long](salts)
+          val seen = new Array[Boolean](salts)
+          val rest = new Iterator[Long] {
+            def hasNext: Boolean = it.hasNext && it.head._1 == bkey
+            def next(): Long = it.next()._2
+          }
+          val src = ids.iterator.take(n) ++ rest
+          val windowed = src.flatMap { id =>
+            val h = graft.core.Murmur3.hashLong(id, bkey)
+            val s = (((h % salts) + salts) % salts).toInt
+            if (!seen(s)) { seen(s) = true; mins(s) = id }
+            val c = counts(s)
+            val have = math.min(c, win.toLong).toInt
+            val ring = rings(s)
+            val out = Iterator.range(0, have).map { d =>
+              val prev = ring(((c - 1 - d) % win).toInt)
+              (math.min(prev, id), math.max(prev, id), lane)
+            }
+            ring((c % win).toInt) = id
+            counts(s) = c + 1
+            out
+          }
+          def chains: Iterator[(Long, Long, Int)] = {
+            val reps = Iterator.range(0, salts).filter(seen(_)).map(mins(_)).toArray
+            starChain(reps, lane)
+          }
+          windowed ++ chains
+        } else if (n < 2) Iterator.empty
+        else expandHamming(java.util.Arrays.copyOf(ids, n),
+          java.util.Arrays.copyOf(fs, n), Array.tabulate(n)(identity),
+          fullMask & ~pinnedMask(bkey), cap, maxHam, lane, bkey, 0)
       }
 
       new Iterator[Iterator[(Long, Long, Int)]] {

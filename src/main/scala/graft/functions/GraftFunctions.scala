@@ -5,7 +5,7 @@ import graft.text.TextFeatures
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -330,6 +330,38 @@ object GraftFunctions {
     override def prettyName: String = "graft_audio_snr_db"
   }
 
+  /** audio_spectral_sig(bytes, codec, srHz): gain-invariant normalized
+    * spectral signature (array<float>, unit L2) of the decoded waveform —
+    * Goertzel probe-bin powers, floored + normalized
+    * ([[graft.audio.SpectralSig.sig]]). The acoustic feature the audio-dup
+    * lane buckets and verifies on; FloatType so the codegen [[CosineSim]]
+    * kernel consumes it directly. */
+  case class AudioSpectralSig(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any = {
+      val pcm = graft.audio.AudioCodec.decode(
+        bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String].toString)
+      new GenericArrayData(graft.audio.SpectralSig.sig(pcm, sr.asInstanceOf[Int]))
+    }
+    override protected def withNewChildrenInternal(
+        a: Expression, b: Expression, c: Expression): AudioSpectralSig = copy(a, b, c)
+    override def prettyName: String = "graft_audio_spectral_sig"
+  }
+
+  /** spectral_fp(sig): 64-bit margin-comparison fingerprint of a spectral
+    * signature ([[graft.audio.SpectralSig.fp64]]) — computed FROM the sig
+    * column so one decode+Goertzel pass per row feeds both the bucketing
+    * fingerprint and the verification vector. */
+  case class SpectralFp(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      graft.audio.SpectralSig.fp64(v.asInstanceOf[ArrayData])
+    override protected def withNewChildInternal(c: Expression): SpectralFp = copy(c)
+    override def prettyName: String = "graft_spectral_fp"
+  }
+
   // ----------------------------------------------------------- embeddings
 
   /** Shared cosine kernel reading floats straight off the columnar
@@ -519,6 +551,9 @@ object GraftFunctions {
     col(AudioFrames(ex(bytes), ex(codec), ex(srHz), ex(frameMs)))
   def audio_snr_db(ba: Column, ca: Column, bb: Column, cb: Column): Column =
     col(AudioSnrDb(ex(ba), ex(ca), ex(bb), ex(cb)))
+  def audio_spectral_sig(bytes: Column, codec: Column, srHz: Column): Column =
+    col(AudioSpectralSig(ex(bytes), ex(codec), ex(srHz)))
+  def spectral_fp(sig: Column): Column = col(SpectralFp(ex(sig)))
   def hyperplane_sig(c: Column, nPlanes: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneSig(ex(c), nPlanes, seed))
   def ivf_cells(c: Column, cids: Array[Long], cents: Array[Array[Float]], nprobe: Int): Column =
@@ -551,6 +586,8 @@ object GraftFunctions {
     one("graft_pcm_decode", es => PcmDecode(es(0), es(1)))
     one("graft_audio_rms", es => AudioRms(es(0), es(1)))
     one("graft_audio_snr_db", es => AudioSnrDb(es(0), es(1), es(2), es(3)))
+    one("graft_audio_spectral_sig", es => AudioSpectralSig(es(0), es(1), es(2)))
+    one("graft_spectral_fp", es => SpectralFp(es.head))
     one("graft_lang_id", es => LangId(es.head))
     one("graft_quality_score", es => QualityScore(es.head))
     one("graft_doc_fingerprint", es => DocFingerprint(es.head))

@@ -236,17 +236,25 @@ object TextFeatures {
     * count caps nothing — each value is a per-text Array[Long] whose size
     * tracks transcript length, so 2^19 entries of multi-KB arrays was
     * multi-GB worst case). `memoBytes` tracks the accumulated array bytes;
-    * on overflow a pseudo-random HALF of the entries is evicted (key-hash
-    * parity — the keys are murmur outputs, so parity is a fair coin) rather
-    * than clearing wholesale: a working set slightly above the budget then
-    * re-shingles ~half of it per epoch instead of storming the whole corpus
-    * every wave (the measured failure mode when the old cap sat below the
-    * corpus' distinct-text count — it inflated high-thread-count runs most).
+    * on overflow, entries are evicted in map-iteration order until HALF the
+    * budget is free. Eviction MUST be able to reclaim from any entry:
+    * the first byte-bounded design evicted only odd-key-parity entries, so
+    * once the even-parity residue alone exceeded the budget the sweep
+    * reclaimed nothing and every subsequent miss paid a synchronized
+    * full-map scan — measured as a ~7x pipeline blowup at 160k clips
+    * (working set ~900 MB vs the old 256 MB budget), worst at low core
+    * counts where nothing hides the serial sweeps. Evict-to-half instead
+    * amortizes to one sweep per budget/2 inserted bytes: working sets above
+    * the budget churn the evicted (iteration-order-early) subset at
+    * re-shingle cost — a few µs per text — never at sweep-per-miss cost.
+    * The default budget is sized so the bench-scale per-executor working
+    * set stays fully resident (production corpora tune
+    * `-Dgraft.shingleMemoBytes` to the executor's memory share).
     * Verdicts are a pure function of the texts, so cache state can never
     * change a result, only its cost. A key collision would reuse a wrong
     * set with probability ~(working set)²/2^64; ignored. */
   @volatile private[graft] var memoMaxBytes: Long =
-    java.lang.Long.getLong("graft.shingleMemoBytes", 256L << 20)
+    java.lang.Long.getLong("graft.shingleMemoBytes", 1536L << 20)
   private val memoBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]](1 << 12)
 
@@ -256,18 +264,18 @@ object TextFeatures {
   private[graft] def memoStats: (Int, Long) = (shingleMemo.size(), memoBytes.get())
   private[graft] def memoClear(): Unit = { shingleMemo.clear(); memoBytes.set(0L) }
 
-  /** Evict ~half the memo (entries whose key has odd hash-bit parity). One
-    * thread evicts per overflow episode; the double-check makes concurrent
-    * callers that lost the race return without a second sweep. */
+  /** Evict entries (map-iteration order) until half the byte budget is
+    * free — progress-guaranteed whatever the key distribution. One thread
+    * evicts per overflow episode; the double-check makes concurrent callers
+    * that lost the race return without a second sweep. */
   private def memoEvictHalf(need: Long): Unit = shingleMemo.synchronized {
     if (memoBytes.get() + need <= memoMaxBytes) return
+    val target = memoMaxBytes / 2
     val it = shingleMemo.entrySet().iterator()
-    while (it.hasNext) {
+    while (it.hasNext && memoBytes.get() > target) {
       val e = it.next()
-      if ((java.lang.Long.bitCount(e.getKey) & 1) == 1) {
-        memoBytes.addAndGet(-entryBytes(e.getValue))
-        it.remove()
-      }
+      memoBytes.addAndGet(-entryBytes(e.getValue))
+      it.remove()
     }
   }
 
@@ -283,6 +291,7 @@ object TextFeatures {
     if (cached != null) return cached
     val arr = shingleSet(u.toString, k, seed)
     val cost = entryBytes(arr)
+    if (cost > memoMaxBytes / 8) return arr // pathological single text: don't pollute
     if (memoBytes.get() + cost > memoMaxBytes) memoEvictHalf(cost)
     if (shingleMemo.putIfAbsent(key, arr) == null) memoBytes.addAndGet(cost)
     arr

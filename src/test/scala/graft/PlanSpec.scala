@@ -106,6 +106,25 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("audio lane prunes the transcript column and plans no cartesian") {
+    // the audio-content dedup lane reads the WAVEFORM columns only (its
+    // whole point is transcript-blindness — and at 10^12 rows the transcript
+    // is dead weight in its scan), and its candidate/verify stages must stay
+    // equi-join shaped like the text lane's
+    val clips = spark.read.parquet(corpusPath)
+    val feats = graft.dedup.AudioDedup.features(clips)
+    val featPlan = feats.queryExecution.executedPlan.toString
+    assert(!featPlan.contains("transcript"),
+      s"audio features must not read the transcript:\n$featPlan")
+    val edgePlan = graft.dedup.AudioDedup
+      .verifiedEdges(feats, graft.core.DedupConfig.default)
+      .queryExecution.executedPlan.toString
+    assert(!edgePlan.contains("BroadcastNestedLoopJoin"),
+      s"audio lane plans a nested-loop join:\n$edgePlan")
+    assert(!edgePlan.contains("CartesianProduct"),
+      s"audio lane plans a cartesian product:\n$edgePlan")
+  }
+
   test("sketch aggregate runs as ObjectHashAggregate with partial merge") {
     val plan = SparkEntry.queries("q09_heavy_hitters_sketch")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
