@@ -161,14 +161,14 @@ object Bench {
     * taskset pin reached the measured JVM, VERDICT r3 #1), and the measured
     * rep count. */
   private final case class LevelRun(sec: Double, sum: Long, taskSec: Double,
-                                    pinMask: String, reps: Int)
+                                    cpuSec: Double, pinMask: String, reps: Int)
 
   private def timedDedup(cores: Int, corpusPath: String, reps: Int = 0): LevelRun = {
     val repArg = if (reps > 0) Seq(reps.toString) else Seq.empty
     val line = spawnChild(Seq("child", cores.toString, corpusPath) ++ repArg,
       "CHILD_RESULT ", cores)
-    val Array(_, sec, sum, taskSec, mask, nReps) = line.split(" ")
-    LevelRun(sec.toDouble, sum.toLong, taskSec.toDouble, mask, nReps.toInt)
+    val Array(_, sec, sum, taskSec, cpuSec, mask, nReps) = line.split(" ")
+    LevelRun(sec.toDouble, sum.toLong, taskSec.toDouble, cpuSec.toDouble, mask, nReps.toInt)
   }
 
   /** The calling process's cpu-affinity list, e.g. "0-1" for a 2-core pin. */
@@ -178,13 +178,13 @@ object Bench {
       .map(_.split(":").last.trim).getOrElse("?")
   } catch { case _: Throwable => "?" }
 
-  /** (computeSec, membwSharedSec, membwPrivSec) from a fresh calib child at
-    * `cores` — pinned to the same CPU budget as the dedup children (same
-    * protocol). */
-  private def timedCalib(cores: Int): (Double, Double, Double) = {
+  /** (computeSec, membwSharedSec, membwPrivSec, memLatSec) from a fresh
+    * calib child at `cores` — pinned to the same CPU budget as the dedup
+    * children (same protocol). */
+  private def timedCalib(cores: Int): (Double, Double, Double, Double) = {
     val line = spawnChild(Seq("calib", cores.toString), "CHILD_CALIB ", cores)
-    val Array(_, comp, mem, memPriv) = line.split(" ")
-    (comp.toDouble, mem.toDouble, memPriv.toDouble)
+    val Array(_, comp, mem, memPriv, memLat) = line.split(" ")
+    (comp.toDouble, mem.toDouble, memPriv.toDouble, memLat.toDouble)
   }
 
   /** Calibration child: fixed total work split into many small tasks, zero
@@ -263,11 +263,46 @@ object Bench {
       if (x == 42L) System.err.println("")
       (System.nanoTime() - t0) / 1e9
     }
-    computeOnce(); membwOnce(); membwPrivOnce() // warmup (JIT, broadcast materialization)
+    // latency kernel (round 4): DEPENDENT pseudo-random loads over a
+    // private LLC-exceeding array per task — each load's address is derived
+    // from the previous load's VALUE, so the misses serialize (zero
+    // memory-level parallelism). This is the substrate ceiling for
+    // latency-bound random access — hash-agg probes, hash-join lookups, the
+    // dedup pair aggregation — which is the pipeline's dominant
+    // NON-streaming traffic: N tasks' private working sets overflow the
+    // shared socket LLC long before streaming bandwidth saturates, so this
+    // kernel degrades with cores where the streaming kernels do not. A
+    // multi-host cluster gives each executor its own LLC/DRAM; one socket
+    // cannot — publishing the kernel quantifies that next to the pipeline.
+    val latTasks = prop("graft.calibLatTasks", "64").toInt
+    val latLen = 1 << 24 // 128 MB of longs per task, same shape as membwPriv
+    val latSteps = prop("graft.calibLatSteps", "2000000").toInt
+    def memLatOnce(): Double = {
+      val t0 = System.nanoTime()
+      val x = spark.range(0, latTasks.toLong, 1, latTasks).as[Long].map { i =>
+        val a = new Array[Long](latLen)
+        var j = 0
+        while (j < a.length) { a(j) = i + j * 0x9e3779b97f4a7c15L; j += 1 }
+        var v = i
+        var s = 0L
+        var k = 0
+        while (k < latSteps) {
+          val idx = (graft.core.Murmur3.hashLong(v, k) & (latLen - 1)).toInt
+          v = a(idx) // next address depends on THIS load's value
+          s += v
+          k += 1
+        }
+        s
+      }.reduce(_ ^ _)
+      if (x == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    computeOnce(); membwOnce(); membwPrivOnce(); memLatOnce() // warmup (JIT, broadcast materialization)
     val comp = math.min(computeOnce(), computeOnce())
     val mem = math.min(membwOnce(), membwOnce())
     val memPriv = math.min(membwPrivOnce(), membwPrivOnce())
-    println(f"CHILD_CALIB $comp%.3f $mem%.3f $memPriv%.3f")
+    val memLat = math.min(memLatOnce(), memLatOnce())
+    println(f"CHILD_CALIB $comp%.3f $mem%.3f $memPriv%.3f $memLat%.3f")
     spark.stop()
   }
 
@@ -283,6 +318,7 @@ object Bench {
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val jobLog = prop("graft.jobLog", "false").toBoolean
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -297,6 +333,7 @@ object Bench {
       override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         taskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+        cpuNs.addAndGet(e.stageInfo.taskMetrics.executorCpuTime)
         if (jobLog) {
           val m = e.stageInfo.taskMetrics
           System.err.println(f"STAGE ${e.stageInfo.stageId}%4d tasks=${e.stageInfo.numTasks}%3d " +
@@ -343,16 +380,21 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
-    def iter(tag: String): (Double, Long, Double) = {
-      jobs.set(0); stages.set(0); taskMs.set(0)
+    def iter(tag: String): (Double, Long, Double, Double) = {
+      jobs.set(0); stages.set(0); taskMs.set(0); cpuNs.set(0)
       val g0 = gcMs
       val r = once()
       val tSec = taskMs.get / 1e3
+      // cpuSec: summed per-task THREAD CPU time (ThreadMXBean via Spark's
+      // executorCpuTime) — excludes scheduler wait, IO wait and hypervisor
+      // steal, so taskSec/cpuSec separates "the work got slower" from "the
+      // work waited" per level, in the artifact itself
+      val cSec = cpuNs.get / 1e9
       System.err.println(f"CHILD_ITER $tag ${r._1}%.2f jobs=${jobs.get} " +
-        f"stages=${stages.get} taskSec=$tSec%.1f " +
+        f"stages=${stages.get} taskSec=$tSec%.1f cpuSec=$cSec%.1f " +
         f"gcSec=${(gcMs - g0) / 1e3}%.1f " +
         f"parUse=${tSec / (r._1 * cores)}%.2f")
-      (r._1, r._2, tSec)
+      (r._1, r._2, tSec, cSec)
     }
     // -Dgraft.sample=true: in-process stack sampler over the executor task
     // threads (external jstack/jcmd attach can't keep up with a pinned,
@@ -403,7 +445,7 @@ object Bench {
     // window: inflated taskSec at comparable wall = external steal during
     // the measured run) and the child's actual affinity mask + rep count
     val best = runs.minBy(_._1)
-    println(s"CHILD_RESULT ${best._1} ${best._2} ${best._3} $ownPinMask $reps")
+    println(s"CHILD_RESULT ${best._1} ${best._2} ${best._3} ${best._4} $ownPinMask $reps")
     spark.stop()
   }
 
@@ -634,31 +676,34 @@ object Bench {
     // streaming memory reads (the LLC/DRAM contention ceiling the shuffle
     // pipeline actually lives under).
     val calibLevels = Seq(1, 2, 4, 8)
-    val calibRuns: Seq[Map[Int, (Double, Double, Double)]] = (1 to rounds).map { r =>
+    val calibRuns: Seq[Map[Int, (Double, Double, Double, Double)]] = (1 to rounds).map { r =>
       calibLevels.filter(c => r == 1 || c >= 2)
         .map(c => c -> timedCalib(c)).toMap
     }
-    def calibBest(c: Int): (Double, Double, Double) = {
+    def calibBest(c: Int): (Double, Double, Double, Double) = {
       val rs = calibRuns.flatMap(_.get(c))
-      (rs.map(_._1).min, rs.map(_._2).min, rs.map(_._3).min)
+      (rs.map(_._1).min, rs.map(_._2).min, rs.map(_._3).min, rs.map(_._4).min)
     }
-    val (comp1, mem1, memP1) = calibBest(1)
-    val (comp2, mem2, memP2) = calibBest(2)
-    val (comp4, mem4, memP4) = calibBest(4)
-    val (comp8, mem8, memP8) = calibBest(8)
+    val (comp1, mem1, memP1, memL1) = calibBest(1)
+    val (comp2, mem2, memP2, memL2) = calibBest(2)
+    val (comp4, mem4, memP4, memL4) = calibBest(4)
+    val (comp8, mem8, memP8, memL8) = calibBest(8)
     val calibEff1to4 = comp1 / (4.0 * comp4)
     val calibEff1to4Membw = mem1 / (4.0 * mem4)
     val calibEff1to4MembwPriv = memP1 / (4.0 * memP4)
+    val calibEff1to4MemLat = memL1 / (4.0 * memL4)
     val calibEffCompute = comp2 / (4.0 * comp8)
     val calibEffMembw = mem2 / (4.0 * mem8)
     val calibEffMembwPriv = memP2 / (4.0 * memP8)
+    val calibEffMemLat = memL2 / (4.0 * memL8)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + levels.map(lv(_).sec).sum
     val perLevel = levels.map { c =>
       val r = lv(c)
       f""""local${c}_sec":${r.sec}%.2f,"local${c}_clips_per_sec":${dedupN / r.sec}%.1f,""" +
-        f""""taskSec_$c":${r.taskSec}%.1f,"pin_$c":"${r.pinMask}","reps_$c":${r.reps * levelRounds(c)}"""
+        f""""taskSec_$c":${r.taskSec}%.1f,"taskCpuSec_$c":${r.cpuSec}%.1f,""" +
+        f""""pin_$c":"${r.pinMask}","reps_$c":${r.reps * levelRounds(c)}"""
     }.mkString(",")
     val dedupJson =
       f"""{"n":$dedupN,$perLevel,""" +
@@ -669,15 +714,19 @@ object Bench {
         f""""calibration_eff_1to4":$calibEff1to4%.3f,""" +
         f""""calibration_eff_1to4_membw":$calibEff1to4Membw%.3f,""" +
         f""""calibration_eff_1to4_membw_priv":$calibEff1to4MembwPriv%.3f,""" +
+        f""""calibration_eff_1to4_memlat":$calibEff1to4MemLat%.3f,""" +
         f""""calibration_eff_2to8":$calibEffCompute%.3f,""" +
         f""""calibration_eff_2to8_membw":$calibEffMembw%.3f,""" +
         f""""calibration_eff_2to8_membw_priv":$calibEffMembwPriv%.3f,""" +
+        f""""calibration_eff_2to8_memlat":$calibEffMemLat%.3f,""" +
         f""""calib_compute_sec_1":$comp1%.2f,"calib_compute_sec_2":$comp2%.2f,""" +
         f""""calib_compute_sec_4":$comp4%.2f,"calib_compute_sec_8":$comp8%.2f,""" +
         f""""calib_membw_sec_1":$mem1%.2f,"calib_membw_sec_2":$mem2%.2f,""" +
         f""""calib_membw_sec_4":$mem4%.2f,"calib_membw_sec_8":$mem8%.2f,""" +
         f""""calib_membw_priv_sec_1":$memP1%.2f,"calib_membw_priv_sec_2":$memP2%.2f,""" +
         f""""calib_membw_priv_sec_4":$memP4%.2f,"calib_membw_priv_sec_8":$memP8%.2f,""" +
+        f""""calib_memlat_sec_1":$memL1%.2f,"calib_memlat_sec_2":$memL2%.2f,""" +
+        f""""calib_memlat_sec_4":$memL4%.2f,"calib_memlat_sec_8":$memL8%.2f,""" +
         f""""deterministic":${allSums.distinct.size == 1}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$annJson"dedup":$dedupJson}"""
