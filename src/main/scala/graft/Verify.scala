@@ -49,6 +49,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // no-silent-caps evidence (ADVICE r4): bucket runs that exceeded
+    // runBufferCap degrade to the windowed drain and forfeit candidate-
+    // recall completeness — the count must be 0 for the "lane equals
+    // oracle" claims above to be airtight, and is dumped so the claim is
+    // machine-checkable per verify run.
+    val ov = graft.dedup.CandidatePairs.overflowRuns(spark)
+    Files.writeString(Paths.get(s"$outDir/pair_gen_overflow_runs.json"),
+      s"""{"overflow_runs":$ov}""")
+    if (ov > 0) System.err.println(s"[verify] WARNING: $ov bucket runs overflowed " +
+      "runBufferCap — windowed-drain degrade fired; candidate recall not complete")
     spark.stop()
   }
 }

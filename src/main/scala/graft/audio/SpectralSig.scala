@@ -43,10 +43,14 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * COMPLETE under the bucket cap: the distributed lane and the O(n^2)
   * oracle compute identical edge sets by construction.
   *
-  * Determinism: +, *, compare, Math.sqrt (exactly rounded) and Math.cos (a
-  * per-JVM runtime stub) on doubles — driver oracle and executor expression
-  * produce bit-identical signatures for the same bytes (the same discipline
-  * the corpus generator relies on for its cross-parallelism checksums).
+  * Determinism: +, *, compare, Math.sqrt (exactly rounded by spec) and
+  * StrictMath.cos/pow (bit-identical across JVMs and CPU architectures BY
+  * CONTRACT — fdlibm) on doubles, so driver oracle and executor expression
+  * produce bit-identical signatures for the same bytes on ANY host mix
+  * (ADVICE r4: plain math.cos/pow are not exactly-rounded and may differ
+  * across JVM versions/architectures, which would silently break the
+  * lane-equals-oracle exact-equality contract on a heterogeneous cluster;
+  * both are computed once per bin, so the fdlibm cost is noise).
   */
 object SpectralSig {
 
@@ -69,7 +73,7 @@ object SpectralSig {
   /** Log-spaced probe frequencies (Hz). */
   val probeFreqs: Array[Double] = {
     val ratio = FMax / FMin
-    Array.tabulate(Bins)(k => FMin * math.pow(ratio, k.toDouble / (Bins - 1)))
+    Array.tabulate(Bins)(k => FMin * StrictMath.pow(ratio, k.toDouble / (Bins - 1)))
   }
 
   /** Normalized floored constant-Q signature of decoded PCM (unit L2,
@@ -83,7 +87,7 @@ object SpectralSig {
       val f = probeFreqs(k)
       if (f < srHz / 2.0) { // skip bins above Nyquist (only possible sr < 7000)
         val n = math.min(pcm.length, math.max(32, (QCycles * srHz / f).toInt))
-        val coeff = 2.0 * math.cos(2.0 * math.Pi * f / srHz)
+        val coeff = 2.0 * StrictMath.cos(2.0 * math.Pi * f / srHz)
         var s1 = 0.0
         var s2 = 0.0
         var i = 0

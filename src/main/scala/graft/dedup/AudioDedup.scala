@@ -54,12 +54,18 @@ object AudioDedup {
 
   /** One no-shuffle projection: (clip_id, id, sig, fp) — decode + Goertzel
     * once per clip, fingerprint derived from the sig column. Reads ONLY
-    * (clip_id, bytes, codec, sr_hz); the transcript never enters this lane. */
-  def features(clips: DataFrame): DataFrame =
-    clips
+    * (clip_id, bytes, codec, sr_hz); the transcript never enters this lane.
+    * `cfg.exactIds` applies the same collision-detect + re-key repair as the
+    * text lane (ADVICE r4: keying this lane on hash_id without the repair
+    * path meant a 64-bit id collision silently merged two unrelated clips
+    * into one audio-graph vertex — the exact failure ExactIds prevents). */
+  def features(clips: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    val f = clips
       .select(col("clip_id"), hash_id(col("clip_id")).as("id"),
         audio_spectral_sig(col("bytes"), col("codec"), col("sr_hz")).as("sig"))
       .withColumn("fp", spectral_fp(col("sig")))
+    if (cfg.exactIds) ExactIds.repair(f) else f
+  }
 
   /** Fingerprint bits pinned by a packed bucket key (the block the row was
     * emitted for) — the level-0 mask for the recursive-pigeonhole expansion. */
@@ -108,7 +114,7 @@ object AudioDedup {
     spark.conf.set(key, p.toString)
     val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     try {
-      val feats = features(clips).persist(StorageLevel.MEMORY_AND_DISK)
+      val feats = features(clips, cfg).persist(StorageLevel.MEMORY_AND_DISK)
       val edges = verifiedEdges(feats, cfg).persist(StorageLevel.MEMORY_AND_DISK)
       val edgeCount = edges.count()
       val labels =

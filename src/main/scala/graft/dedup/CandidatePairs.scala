@@ -30,6 +30,22 @@ object CandidatePairs {
   /** Salt-group count bounds for hot keys. */
   final val MaxSalts = 1024
 
+  /** Overflow-degrade visibility (ADVICE r4): past `runBufferCap` a bucket
+    * run drains through the bounded-memory windowed path and the advertised
+    * "candidate recall COMPLETE below runBufferCap" property stops holding
+    * for that run — the repo's no-silent-caps discipline requires that loss
+    * to be machine-visible, not oral history. One named accumulator per
+    * SparkContext counts overflowed runs across all pair-gen jobs; Bench and
+    * Verify surface the value in their artifacts (expected 0 at every tested
+    * scale — a single bucket needs ~10^5 members to trip it). */
+  private val overflowAccs =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]
+  private[graft] def overflowAcc(sc: org.apache.spark.SparkContext): org.apache.spark.util.LongAccumulator =
+    overflowAccs.computeIfAbsent(sc, c => c.longAccumulator("graft.pairs.overflowRuns"))
+  /** Total overflowed runs observed on the session's context so far. */
+  def overflowRuns(spark: SparkSession): Long = overflowAcc(spark.sparkContext).value
+
   final case class Bucket(key: Long, id: Long, lane: Int)
 
   /** Detect bucket keys with (estimated) multiplicity >= threshold using a
@@ -205,6 +221,7 @@ object CandidatePairs {
     val runBuffer = math.min(Int.MaxValue.toLong,
       math.max(cap.toLong * MaxSalts, cfg.runBufferCap.toLong)).toInt
 
+    val ovAcc = overflowAcc(spark.sparkContext)
     val parts = packedIn
       .repartition(col("bkey"))
       .sortWithinPartitions(col("bkey"), col("id"))
@@ -242,6 +259,7 @@ object CandidatePairs {
         * covers the regime), and any TRUE giant bucket's groups are far
         * above cap anyway. */
       def overflowRun(bkey: Long, lane: Int, prefix: Array[Long], pn: Int): Iterator[(Long, Long, Int)] = {
+        ovAcc.add(1L)
         val salts = MaxSalts
         val win = Window - 1
         val rings = Array.ofDim[Long](salts, win)
@@ -398,6 +416,7 @@ object CandidatePairs {
     val runBuffer = math.min(Int.MaxValue.toLong,
       math.max(cap.toLong * MaxSalts, cfg.runBufferCap.toLong)).toInt
 
+    val ovAcc = overflowAcc(spark.sparkContext)
     val parts = packedIn
       .repartition(col("bkey"))
       .sortWithinPartitions(col("bkey"), col("id"))
@@ -424,7 +443,11 @@ object CandidatePairs {
         }
         if (it.hasNext && it.head._1 == bkey) {
           // beyond runBuffer: bounded-memory windowed drain (ids only),
-          // mirroring the packed path's overflowRun boundary
+          // mirroring the packed path's overflowRun boundary. The drain
+          // forfeits Hamming-recall completeness for THIS run — counted on
+          // the overflow accumulator so the degrade is machine-visible
+          // (ADVICE r4), never silent.
+          ovAcc.add(1L)
           val salts = MaxSalts
           val win = Window - 1
           val rings = Array.ofDim[Long](salts, win)

@@ -485,6 +485,29 @@ object GraftFunctions {
     require(nprobe >= 1, "ivf_cells nprobe must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+    // ADVICE r4: case-class equals/hashCode on Array params is reference-
+    // based, so two semantically identical ivf_cells expressions never
+    // compared equal — defeating Catalyst canonicalization/semanticEquals
+    // (subexpression elimination, plan-cache reuse). Content-compare the
+    // bank instead, and keep toString/explain stable by printing the bank's
+    // SHAPE rather than JVM array identity hashes.
+    override def equals(o: Any): Boolean = o match {
+      case that: IvfCells =>
+        child == that.child && nprobe == that.nprobe &&
+          java.util.Arrays.equals(cids, that.cids) &&
+          cents.length == that.cents.length &&
+          cents.indices.forall(i => java.util.Arrays.equals(cents(i), that.cents(i)))
+      case _ => false
+    }
+    override def hashCode(): Int = {
+      var h = child.hashCode()
+      h = h * 31 + java.util.Arrays.hashCode(cids)
+      h = h * 31 + cents.foldLeft(0)((a, c) => a * 31 + java.util.Arrays.hashCode(c))
+      h * 31 + nprobe
+    }
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"bank[${cids.length}x${cents.headOption.map(_.length).getOrElse(0)}]", nprobe)
+
     override def nullSafeEval(v: Any): Any = {
       val vec = v.asInstanceOf[ArrayData]
       val k = math.min(nprobe, cents.length)
