@@ -161,14 +161,16 @@ object Bench {
     * taskset pin reached the measured JVM, VERDICT r3 #1), and the measured
     * rep count. */
   private final case class LevelRun(sec: Double, sum: Long, taskSec: Double,
-                                    cpuSec: Double, pinMask: String, reps: Int)
+                                    cpuSec: Double, pinMask: String, reps: Int,
+                                    overflowRuns: Long)
 
   private def timedDedup(cores: Int, corpusPath: String, reps: Int = 0): LevelRun = {
     val repArg = if (reps > 0) Seq(reps.toString) else Seq.empty
     val line = spawnChild(Seq("child", cores.toString, corpusPath) ++ repArg,
       "CHILD_RESULT ", cores)
-    val Array(_, sec, sum, taskSec, cpuSec, mask, nReps) = line.split(" ")
-    LevelRun(sec.toDouble, sum.toLong, taskSec.toDouble, cpuSec.toDouble, mask, nReps.toInt)
+    val Array(_, sec, sum, taskSec, cpuSec, mask, nReps, ov) = line.split(" ")
+    LevelRun(sec.toDouble, sum.toLong, taskSec.toDouble, cpuSec.toDouble, mask,
+      nReps.toInt, ov.toLong)
   }
 
   /** The calling process's cpu-affinity list, e.g. "0-1" for a 2-core pin. */
@@ -445,7 +447,11 @@ object Bench {
     // window: inflated taskSec at comparable wall = external steal during
     // the measured run) and the child's actual affinity mask + rep count
     val best = runs.minBy(_._1)
-    println(s"CHILD_RESULT ${best._1} ${best._2} ${best._3} ${best._4} $ownPinMask $reps")
+    // overflow runs (no-silent-caps, ADVICE r4): windowed-drain degrades
+    // across ALL iterations in this child — 0 means candidate recall was
+    // complete in every measured run
+    val ov = graft.dedup.CandidatePairs.overflowRuns(spark)
+    println(s"CHILD_RESULT ${best._1} ${best._2} ${best._3} ${best._4} $ownPinMask $reps $ov")
     spark.stop()
   }
 
@@ -499,6 +505,37 @@ object Bench {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val dedupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "160000").toInt
 
+    // ---- incremental artifact emission (VERDICT r4 #1) --------------------
+    // BENCH_r04.json was rc:124/parsed:null because main printed JSON only
+    // at the very end — one driver timeout erased a whole round's numbers.
+    // Now every completed section re-emits the FULL cumulative JSON line
+    // (stdout, flushed) and rewrites BENCH_LAST.json, so a timeout at ANY
+    // point leaves a parseable artifact carrying every section that
+    // finished, with `partial:true` marking a truncated run and
+    // `elapsed_sec` proving headroom on complete ones.
+    val tMain0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tMain0) / 1e9
+    var queriesTotal = 0.0
+    var ladderTotal = 0.0
+    val sections = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def emit(partial: Boolean): Unit = {
+      val json = f"""{"metric":"total","value":${queriesTotal + ladderTotal},""" +
+        f""""unit":"sec","elapsed_sec":$elapsedSec%.1f,"partial":$partial,""" +
+        sections.values.mkString(",") + "}"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+      catch { case _: Throwable => () }
+      println(json)
+      System.out.flush()
+    }
+    // driver-budget sizing (VERDICT r4 #1): the r4 defaults (8 reps x 5
+    // ladder levels, 2 calib rounds, a ~240s uncached ANN exact scan) blew
+    // the driver's timeout and left rc:124/parsed:null. The r5 defaults are
+    // sized to ~25-30 min wall on this host: ladder reps 2/3/3/3/2 at
+    // 1/2/4/8/32 cores in ONE pass (dirty windows are detected from the
+    // per-level wall-vs-taskSec pair instead of re-draws), ONE calib round,
+    // and the ANN exact-scan ground truth CACHED on disk across runs (it is
+    // deterministic; recompute was pure waste).
+
     // ---- headline operator queries at local[cores] ------------------------
     // every driver-checked query is benched; a throwaway warm-up query runs
     // first so the session-init cost (codegen warmup, parquet footer cache,
@@ -517,6 +554,19 @@ object Bench {
       .filter(n => filter.isEmpty || filter.exists(n.startsWith))
     val queriesOnly = prop("graft.queriesOnly", "false").toBoolean
     val spark0 = session(cores)
+    // per-query summed task run time (VERDICT r4 #4: the committed r4 query
+    // block was dirty-window data and nothing in the artifact said so — a
+    // wall/taskSec pair per query makes external steal visible in place)
+    val qTaskMs = new java.util.concurrent.atomic.AtomicLong
+    spark0.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        qTaskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+    })
+    def taskMsSnapshot(): Long = {
+      try org.apache.spark.sql.graftshim.PlanShim.waitListenerBus(spark0.sparkContext)
+      catch { case _: Throwable => () }
+      qTaskMs.get
+    }
     // the staged sf tables are `cores` small files per table; the default
     // 128m bin + 4m open-cost packs them into 1-2 scan tasks, capping every
     // query's source stage regardless of cores (VERDICT r2 #4 / r3 #8 —
@@ -536,15 +586,24 @@ object Bench {
     try { CorpusGen.clipsCached(spark0, 1000).count(); CorpusGen.clipsCached(spark0, 500).count() }
     catch { case _: Throwable => () }
     val queryReps = prop("graft.queryReps", "2").toInt
-    val results = benched.flatMap { name =>
+    // per query: (minWall, taskSec of the min-wall rep, dirty). dirty = the
+    // reps disagree >2x with >0.5s spread — a rep swallowed an interference
+    // window; the number is still the min but the flag travels with it so a
+    // reader (and the round verdict) can discount it without oral history.
+    val results: Seq[(String, Double, Double, Boolean)] = benched.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to queryReps).map { _ =>
+        val reps = (1 to queryReps).map { _ =>
+          val m0 = taskMsSnapshot()
           val t0 = System.nanoTime()
           try { fn(spark0, stagedDir).write.mode("overwrite").format("noop").save() }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          (wall, (taskMsSnapshot() - m0) / 1e3)
         }
-        name -> times.min
+        val best = reps.minBy(_._1)
+        val dirty = reps.size > 1 &&
+          reps.map(_._1).max > 2 * best._1 && reps.map(_._1).max - best._1 > 1.0
+        (name, best._1, best._2, dirty)
       }
     }
     // stop streaming state-store maintenance BEFORE session teardown: s01/
@@ -552,6 +611,13 @@ object Bench {
     // and sprays a stack trace into the artifact tail (VERDICT r2 #6)
     try org.apache.spark.sql.graftshim.PlanShim.stopStateStoreMaintenance()
     catch { case _: Throwable => () }
+    queriesTotal = results.map(_._2).sum
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qt = results.map { case (k, _, t, _) => f""""$k":$t%.3f""" }.mkString("{", ",", "}")
+    val qd = results.collect { case (k, _, _, true) => s""""$k"""" }.mkString("[", ",", "]")
+    sections("queries") =
+      s""""queries":$qs,"queries_task_sec":$qt,"queries_dirty":$qd,"sf":"$sfDir""""
+    emit(partial = true)
 
     // ---- ANN at scale (VERDICT r3 #5) ----------------------------------
     // The sf embeddings table is 2k vectors; the similarity-search story
@@ -572,12 +638,30 @@ object Bench {
       def timed[T](f: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
-      val (exact, exactSec) = timed {
+      // exact-scan ground truth CACHED across runs (VERDICT r4 #1/#8): the
+      // corpus is a deterministic pure function of (version, n, k, step), so
+      // the ~4-min brute-force scan is computed once and reused; the scan
+      // wall measured at compute time rides along in a sidecar so the
+      // artifact's exact_scan_sec stays a real measurement (flagged
+      // exact_cached when it wasn't re-measured in THIS run).
+      val gtDir = s"/tmp/graft_ann_gt_v${graft.corpus.CorpusGen.FormatVersion}" +
+        s"_${annN}_${sampleStep}_k3"
+      val gtSec = java.nio.file.Paths.get(s"$gtDir/_SCAN_SEC")
+      val gtCached = new java.io.File(s"$gtDir/_SUCCESS").exists() &&
+        java.nio.file.Files.exists(gtSec)
+      val (exact0, exactSec) = if (gtCached) {
+        (spark0.read.parquet(gtDir),
+          java.nio.file.Files.readString(gtSec).trim.toDouble)
+      } else timed {
         val e = graft.ann.Ann.bruteForceTopK(queries, vecs, 3)
           .select(col("vec_id"), col("neighbor_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        e.count(); e
+        e.write.mode("overwrite").parquet(gtDir)
+        spark0.read.parquet(gtDir)
       }
+      if (!gtCached)
+        try java.nio.file.Files.writeString(gtSec, f"$exactSec%.2f")
+        catch { case _: Throwable => () }
+      val exact = exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exact.count()
       val (lsh, lshSec) = timed {
         val l = graft.ann.Ann.lshTopK(vecs, 3, planesPerTable = 16, tables = 8)
@@ -597,20 +681,18 @@ object Bench {
       Seq(exact, lsh, ivf, vecs).foreach(_.unpersist(blocking = false))
       f""""ann":{"n":$annN,"dim":${graft.corpus.EmbedGen.Dim},""" +
         f""""sample_queries":${nExact / 3},""" +
-        f""""exact_scan_sec":$exactSec%.2f,""" +
+        f""""exact_scan_sec":$exactSec%.2f,"exact_cached":$gtCached,""" +
         f""""lsh_sec":$lshSec%.2f,"lsh_rows":$lshRows,""" +
         f""""lsh_recall":${lshHits.toDouble / nExact}%.4f,""" +
         f""""ivf_sec":$ivfSec%.2f,""" +
-        f""""ivf_recall":${ivfHits.toDouble / nExact}%.4f},"""
+        f""""ivf_recall":${ivfHits.toDouble / nExact}%.4f}"""
     }
-    if (annOnly) {
-      println(s"""{"metric":"ann","unit":"sec",${annJson.stripSuffix(",")}}""")
-      spark0.stop()
-      return
+    if (annJson.nonEmpty) {
+      sections("ann") = annJson
+      emit(partial = true)
     }
-    if (queriesOnly) {
-      val qs0 = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"queries","value":${results.map(_._2).sum},"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+    if (annOnly || queriesOnly) {
+      emit(partial = false)
       spark0.stop()
       return
     }
@@ -630,7 +712,7 @@ object Bench {
     // swallow one whole child run — with sequential levels a dirty window
     // biases a single level and corrupts a ratio, interleaved rounds give
     // every level a shot at every window.
-    val rounds = prop("graft.childRounds", "2").toInt
+    val rounds = prop("graft.childRounds", "1").toInt
     // Two graded N->4N pairs plus the peak point:
     //  - 1->4 cores: the pair where this host genuinely delivers ~4x the
     //    resources (calibration compute AND membw scale ~3.9x there) — the
@@ -639,18 +721,31 @@ object Bench {
     //    scales 3.4x 2->8 on this host, so its ceiling is < 1.0 by
     //    construction — the calibration fields quantify that next to it);
     //  - 32 cores: peak throughput (bandwidth scales just 2.1x 8->32).
-    // The 1-core child runs once with fewer reps (its iterations are ~6x
-    // longer, so one child already spans several interference windows); all
-    // OTHER levels — in particular the 2/8 diagnostic pair — run identical
-    // reps x rounds so their min-of-k estimators are identically distributed
-    // (VERDICT r3 #1).
+    // Driver-budget shape (VERDICT r4 #1): ONE pass over the levels with
+    // reps 2/3/3/3/2 — the 1-core child's iterations are ~5x longer (one
+    // child already spans several interference windows) and 32 cores is a
+    // peak point, not a gate input. Window cleanliness is machine-checked
+    // from the per-level (wall, taskSec, taskCpuSec) triple instead of
+    // re-draw rounds; graft.childRounds>1 restores interleaved rounds for
+    // manual gate work.
     val levels = Seq(1, 2, 4, 8, 32)
     val levelRounds = Map(1 -> 1, 2 -> rounds, 4 -> rounds, 8 -> rounds, 32 -> rounds)
-    val levelReps = Map(1 -> 2)
-    val runSeq: Seq[(Int, LevelRun)] = (1 to rounds).flatMap { r =>
-      levels.filter(c => r <= levelRounds(c))
-        .map(c => c -> timedDedup(c, corpusPath, levelReps.getOrElse(c, 0)))
+    val levelReps = Map(1 -> 2, 2 -> 3, 4 -> 3, 8 -> 3, 32 -> 2)
+    val runSeqB = Seq.newBuilder[(Int, LevelRun)]
+    for (r <- 1 to rounds; c <- levels if r <= levelRounds(c)) {
+      val lr = timedDedup(c, corpusPath, levelReps.getOrElse(c, 0))
+      runSeqB += (c -> lr)
+      // partial ladder progress: a timeout mid-ladder still leaves every
+      // completed level's raw numbers in the artifact
+      val sofar = runSeqB.result()
+      sections("dedup") = s""""dedup":{"n":$dedupN,"complete":false,""" +
+        s""""ladder_runs":[${sofar.map { case (cc, x) =>
+          f"""{"cores":$cc,"sec":${x.sec}%.2f,"taskSec":${x.taskSec}%.1f,""" +
+            f""""taskCpuSec":${x.cpuSec}%.1f,"pin":"${x.pinMask}"}"""
+        }.mkString(",")}]}"""
+      emit(partial = true)
     }
+    val runSeq: Seq[(Int, LevelRun)] = runSeqB.result()
     val byLevel: Map[Int, Seq[LevelRun]] =
       runSeq.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2) }
     def best(c: Int): LevelRun = {
@@ -668,13 +763,32 @@ object Bench {
     val eff2to8 = lv(2).sec / (4.0 * lv(8).sec)
     val eff8to32 = lv(8).sec / (4.0 * lv(32).sec)
     val allSums = levels.map(lv(_).sum)
+    ladderTotal = levels.map(lv(_).sec).sum
+
+    val perLevel = levels.map { c =>
+      val r = lv(c)
+      f""""local${c}_sec":${r.sec}%.2f,"local${c}_clips_per_sec":${dedupN / r.sec}%.1f,""" +
+        f""""taskSec_$c":${r.taskSec}%.1f,"taskCpuSec_$c":${r.cpuSec}%.1f,""" +
+        f""""pin_$c":"${r.pinMask}","reps_$c":${r.reps * levelRounds(c)},""" +
+        f""""overflow_runs_$c":${r.overflowRuns}"""
+    }.mkString(",")
+    val deterministicJson = s""""deterministic":${allSums.distinct.size == 1}"""
+    val ladderCore =
+      f""""n":$dedupN,$perLevel,""" +
+        f""""pinned":$pinned,""" +
+        f""""scaling_efficiency_1to4":$eff1to4%.3f,""" +
+        f""""scaling_efficiency_2to8":$eff2to8%.3f,""" +
+        f""""scaling_efficiency_8to32":$eff8to32%.3f,"""
+    sections("dedup") = s""""dedup":{$ladderCore$deterministicJson}"""
+    emit(partial = true)
 
     // ---- host-ceiling calibration (same fresh-child min-of-k protocol) ----
-    // Two fixed-total-work jobs with zero shuffle quantify what THIS host
-    // can deliver 2->8 cores next to the pipeline's number: pure register
-    // compute (no memory traffic — the VM's scheduling/steal ceiling) and
-    // streaming memory reads (the LLC/DRAM contention ceiling the shuffle
-    // pipeline actually lives under).
+    // Four fixed-total-work jobs with zero shuffle quantify what THIS host
+    // can deliver across the ladder next to the pipeline's number: pure
+    // register compute (the VM's scheduling/steal ceiling), shared-stream
+    // and private-stream memory bandwidth, and dependent-random-load
+    // latency (memlat — the honest ceiling for the pipeline's hash-probe
+    // traffic; eff_1to4_normalized below is the pipeline eff divided by it).
     val calibLevels = Seq(1, 2, 4, 8)
     val calibRuns: Seq[Map[Int, (Double, Double, Double, Double)]] = (1 to rounds).map { r =>
       calibLevels.filter(c => r == 1 || c >= 2)
@@ -697,28 +811,18 @@ object Bench {
     val calibEffMembwPriv = memP2 / (4.0 * memP8)
     val calibEffMemLat = memL2 / (4.0 * memL8)
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + levels.map(lv(_).sec).sum
-    val perLevel = levels.map { c =>
-      val r = lv(c)
-      f""""local${c}_sec":${r.sec}%.2f,"local${c}_clips_per_sec":${dedupN / r.sec}%.1f,""" +
-        f""""taskSec_$c":${r.taskSec}%.1f,"taskCpuSec_$c":${r.cpuSec}%.1f,""" +
-        f""""pin_$c":"${r.pinMask}","reps_$c":${r.reps * levelRounds(c)}"""
-    }.mkString(",")
     val dedupJson =
-      f"""{"n":$dedupN,$perLevel,""" +
-        f""""pinned":$pinned,""" +
-        f""""scaling_efficiency_1to4":$eff1to4%.3f,""" +
-        f""""scaling_efficiency_2to8":$eff2to8%.3f,""" +
-        f""""scaling_efficiency_8to32":$eff8to32%.3f,""" +
+      ladderCore +
         f""""calibration_eff_1to4":$calibEff1to4%.3f,""" +
         f""""calibration_eff_1to4_membw":$calibEff1to4Membw%.3f,""" +
         f""""calibration_eff_1to4_membw_priv":$calibEff1to4MembwPriv%.3f,""" +
         f""""calibration_eff_1to4_memlat":$calibEff1to4MemLat%.3f,""" +
+        f""""eff_1to4_normalized":${eff1to4 / calibEff1to4MemLat}%.3f,""" +
         f""""calibration_eff_2to8":$calibEffCompute%.3f,""" +
         f""""calibration_eff_2to8_membw":$calibEffMembw%.3f,""" +
         f""""calibration_eff_2to8_membw_priv":$calibEffMembwPriv%.3f,""" +
         f""""calibration_eff_2to8_memlat":$calibEffMemLat%.3f,""" +
+        f""""eff_2to8_normalized":${eff2to8 / calibEffMemLat}%.3f,""" +
         f""""calib_compute_sec_1":$comp1%.2f,"calib_compute_sec_2":$comp2%.2f,""" +
         f""""calib_compute_sec_4":$comp4%.2f,"calib_compute_sec_8":$comp8%.2f,""" +
         f""""calib_membw_sec_1":$mem1%.2f,"calib_membw_sec_2":$mem2%.2f,""" +
@@ -727,13 +831,10 @@ object Bench {
         f""""calib_membw_priv_sec_4":$memP4%.2f,"calib_membw_priv_sec_8":$memP8%.2f,""" +
         f""""calib_memlat_sec_1":$memL1%.2f,"calib_memlat_sec_2":$memL2%.2f,""" +
         f""""calib_memlat_sec_4":$memL4%.2f,"calib_memlat_sec_8":$memL8%.2f,""" +
-        f""""deterministic":${allSums.distinct.size == 1}}"""
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$annJson"dedup":$dedupJson}"""
-    // belt and braces for machine readers: the line goes to stdout (clean —
-    // build.sbt routes forked run output through StdoutOutput) AND to a file
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
-    catch { case _: Throwable => () }
-    println(json)
+        deterministicJson
+    sections("dedup") = s""""dedup":{$dedupJson}"""
+    // the final emit goes to stdout (clean — build.sbt routes forked run
+    // output through StdoutOutput) AND rewrites BENCH_LAST.json
+    emit(partial = false)
   }
 }

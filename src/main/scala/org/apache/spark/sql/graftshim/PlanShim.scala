@@ -23,4 +23,11 @@ object PlanShim {
     * otherwise the maintenance task can race the teardown's directory reap
     * and spray a (harmless but ugly) stack trace into the artifact log. */
   def stopStateStoreMaintenance(): Unit = StateStore.stop()
+
+  /** Drain the async listener bus so metrics accumulated by a
+    * SparkListener (per-query task seconds in Bench) are complete before
+    * they are snapshotted — stage-completed events can lag the action's
+    * return by a scheduler tick. */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
