@@ -211,16 +211,41 @@ object SparkEntry {
         .orderBy(col("rep_doc_id"))
     }),
     "d02_ngram_jaccard" -> ((s, d) => {
+      // exact overlap-join via PREFIX FILTERING (SSJoin / All-Pairs, public
+      // results): with every doc's distinct tokens sorted in one global
+      // order (document frequency asc, token asc), any pair with overlap
+      // >= T shares at least one token among each side's first
+      // (|toks| - T + 1) tokens — so candidates come from an inverted-index
+      // join on PREFIX tokens only (the T-1 most common tokens of each doc,
+      // i.e. the stopword mass that made the old lang-keyed a×b join
+      // near-quadratic, never generate candidates), then the survivors are
+      // verified with the exact intersection. Result set identical to the
+      // naive join — the DuckDB oracle is unchanged.
+      val T = 15
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           array_distinct(split(lower(col("text")), " ")).as("toks"))
-      val a = docs.where(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
-      val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("toks").as("b_toks"))
-      a.join(b, Seq("lang"))
+      val exploded = docs.select(col("doc_id"), col("lang"),
+        size(col("toks")).as("ntok"), explode(col("toks")).as("tok"))
+      val dfTab = exploded.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val prefix = exploded.join(dfTab, Seq("lang", "tok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+        .where(col("rn") <= col("ntok") - (T - 1))
+        .select(col("doc_id"), col("lang"), col("tok"))
+      val cand = prefix.where(col("doc_id") % 50 === 0)
+        .select(col("lang"), col("tok"), col("doc_id").as("a_id"))
+        .join(prefix.select(col("lang"), col("tok"), col("doc_id").as("b_id")),
+          Seq("lang", "tok"))
         .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+      val aT = docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val bT = docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+      cand.join(aT, "a_id").join(bT, "b_id")
         .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-        .where(col("inter") >= 15)
+        .where(col("inter") >= T)
         .select(col("a_id"), col("b_id"), col("inter"),
           (size(col("a_toks")) + size(col("b_toks")) - col("inter")).as("uni"))
         .orderBy(col("a_id"), col("b_id"))
