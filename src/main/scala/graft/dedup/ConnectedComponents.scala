@@ -62,18 +62,33 @@ object ConnectedComponents {
         least(col("x.label"), coalesce(col("y.llabel"), col("x.label"))).as("label"))
   }
 
+  /** Neighbor-min propagation — the round's ONLY edge-table join, kept lazy
+    * and separate so its plan shape is assertable (PlanSpec: sym streams in
+    * place, never re-exchanged/re-sorted). */
+  def propagate(sym: DataFrame, labels: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    val msgs = sym.join(labels, sym("src") === labels("id"))
+      .select(sym("dst").as("id"), labels("label"))
+    msgs.groupBy($"id").agg(min($"label").as("label"))
+  }
+
   /** One propagation round: neighbor-min label, then two pointer jumps
     * (label := label(label(label))), quartering the remaining diameter —
     * the jump joins run on the small (id, label) table, while each saved
     * round saves a full edge-table propagate join, so two jumps per round
-    * is the cheaper trade (measured on the bench corpus). */
-  def step(sym: DataFrame, labels: DataFrame): DataFrame = {
-    import sym.sparkSession.implicits._
-    val msgs = sym.join(labels, sym("src") === labels("id"))
-      .select(sym("dst").as("id"), labels("label"))
-    val minLabels = msgs.groupBy($"id").agg(min($"label").as("label"))
-    jump(jump(minLabels))
-  }
+    * is the cheaper trade (measured on the bench corpus).
+    *
+    * The propagate result is EAGERLY checkpointed before the jumps: jump()
+    * references its input on both sides of a self-join and the two jumps
+    * nest, so a lazy propagate is re-derived by every concurrently
+    * scheduled join branch racing on the uncached partitions — measured 25
+    * full-edge-table scans per 160k-clip run where the algorithm needs 5.
+    * One small eager job pins the O(V) (id, label) table so the round scans
+    * the edge table exactly once and the jumps probe a few-MB cache. At
+    * 10^12-vertex scale the duplicated propagate joins would re-read TBs of
+    * edges per round — eager is the only shape that survives. */
+  def step(sym: DataFrame, labels: DataFrame): DataFrame =
+    jump(jump(propagate(sym, labels).localCheckpoint(true)))
 
   /** Count of vertices whose label changed between rounds (exact convergence
     * signal; both inputs expected checkpointed). Retained for tests; the run
@@ -189,12 +204,13 @@ object ConnectedComponents {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // TWO propagation rounds per convergence check: each driver action
-        // costs a serial scheduling round-trip that dominates these tiny
-        // label jobs; at worst one extra (cheap) round runs after the
-        // fixpoint. LAZY localCheckpoint: the labelSum action below is what
-        // computes both rounds — it materializes + caches the partitions
-        // and truncates the lineage in the SAME job.
+        // TWO propagation rounds per convergence check: at worst one extra
+        // (cheap) round runs after the fixpoint. Each step internally runs
+        // one eager job for its propagate table (see [[step]]); the jump
+        // tails stay LAZY — each is referenced exactly once downstream (the
+        // next propagate, or labelSum), so the single materializing action
+        // computes it once and the lazy localCheckpoint caches + truncates
+        // lineage in that same job.
         val jumped = step(sym, step(sym, labels).localCheckpoint(false))
           .localCheckpoint(false)
         val s = labelSum(jumped)

@@ -63,7 +63,11 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     try {
       val sym = graft.dedup.ConnectedComponents.checkpointedSym(edges, p)
       val labels = graft.dedup.ConnectedComponents.initLabels(sym).localCheckpoint(true)
-      val round = graft.dedup.ConnectedComponents.step(sym, labels)
+      // propagate() is the round's only edge-table join (step() eagerly
+      // checkpoints its result before the jumps, so the sym scan is no
+      // longer visible in step()'s returned plan — assert on the subplan
+      // the production rounds actually execute)
+      val round = graft.dedup.ConnectedComponents.propagate(sym, labels)
       val exec = round.queryExecution.executedPlan
       // ancestor chains root→…→scan for every sym scan (2-col src/dst RDD)
       def paths(n: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = n match {
