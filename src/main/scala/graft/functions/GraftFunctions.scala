@@ -20,6 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * fuses — the dominant cost is the hash loops themselves, which run as
   * tight JVM loops in [[graft.text.TextFeatures]]).
   *
+  * Measured (round 5, in-process stack sampler, 160k-clip pipeline at
+  * pinned local[8]): every sampled hit under these expressions lands inside
+  * the TextFeatures static loops — shingleSet 5.3%, tokens 4.9%,
+  * simhash64 3.0%, winnowFingerprints 2.1% of total CPU — and ZERO hits on
+  * interpreted-eval dispatch frames. A `doGenCode` for TextSignatures /
+  * SimHash64 would emit the same static calls the fallback already makes,
+  * so promotion cannot reduce their share; CosineSim stays the one
+  * codegen-native expression because its per-call work is small enough
+  * that dispatch DID show up there (~11 µs/pair, see below).
+  *
   * The k-independent-seeded-hash pattern follows the reference's CountMin
   * probe bank (`CountMin.java:118-121`, `CountMinFast.java:137-138`).
   */
