@@ -210,4 +210,63 @@ object OracleDump {
       .toSeq.sortBy(_._1)
     write(hist.toDF("group_size", "n_groups"), path)
   }
+
+  /** Sequential cosine over float arrays — the SAME arithmetic (per-element
+    * double widening, ascending accumulation order, zero-norm guard) as the
+    * distributed predicate's kernel
+    * ([[graft.functions.GraftFunctions.cosineSimData]]), so oracle and lane
+    * agree bit-for-bit on every pair. */
+  private def cosF(a: Array[Float], b: Array[Float]): Double = {
+    val m = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < m) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Expected d10 output: O(n^2) exact-cosine near-dup clustering of the
+    * embeddings table (threshold inclusive) + union-find, fully outside the
+    * LSH/CandidatePairs/CC path the query exercises. Cluster label = min
+    * vec_id of the component (matching [[graft.ann.EmbedDedup.clusters]]'s
+    * deterministic contract); the LSH lane's (planes, tables) are sized so
+    * candidate recall is complete at the gate scale, making the transitive
+    * closures identical. */
+  def embedClustersExpected(spark: SparkSession, vectors: DataFrame,
+                            threshold: Double, path: String): Unit = {
+    if (!enabled) return
+    import spark.implicits._
+    val rows = vectors.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val n = rows.length
+    val root = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (root(r) != r) { root(r) = root(root(r)); r = root(r) }
+      r
+    }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (cosF(rows(i)._2, rows(j)._2) >= threshold) {
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj) root(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val members = (0 until n).groupBy(find)
+    val label = new Array[Long](n)
+    members.values.foreach { idxs =>
+      val lbl = idxs.map(i => rows(i)._1).min
+      idxs.foreach(i => label(i) = lbl)
+    }
+    val out = (0 until n).map(i => (rows(i)._1, label(i), rows(i)._1 == label(i)))
+    write(out.toDF("vec_id", "cluster", "is_rep"), path)
+  }
 }

@@ -418,6 +418,21 @@ object SparkEntry {
         .select(col("clip_id"), col("cluster").as("audio_cluster"), col("is_rep"))
         .orderBy(col("clip_id"))
     }),
+    "d10_embed_dup_clusters" -> ((s, d) => {
+      // embedding-space near-dup CLUSTERING (e03 gives only the pair list):
+      // hyperplane-LSH candidates through the shared skew-aware pair gen,
+      // exact cosine>=t verify, CC, min-vec_id representative. Oracle =
+      // O(n^2) exact cosine + union-find (same float arithmetic), persisted
+      // for DuckDB — a hard assignment gate on the whole lane. The (4
+      // planes x 32 tables) gate geometry makes candidate recall complete
+      // at this threshold/scale (miss-all = 0.823^32 ~ 0.002/pair;
+      // deterministic seeds make the green result stable); production
+      // scales planesPerTable with log2(n) like e02/e04 (EmbedDedup doc).
+      val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      OracleDump.embedClustersExpected(s, vecs, 0.45, s"${OracleDump.dir}/d10")
+      graft.ann.EmbedDedup.clusters(vecs, threshold = 0.45)
+        .orderBy(col("vec_id"))
+    }),
     // ------------------------------------------- the dedup pipeline itself
     "p01_dedup_assignments" -> ((s, _) => {
       // flagship gate: pipeline assignments vs the persisted brute-force
@@ -644,6 +659,9 @@ object SparkEntry {
     "d09_audio_dup_groups" ->
       s"""SELECT clip_id, audio_cluster, is_rep
          |FROM read_parquet('${OracleDump.dir}/d09/*.parquet') ORDER BY clip_id""".stripMargin,
+    "d10_embed_dup_clusters" ->
+      s"""SELECT vec_id, cluster, is_rep
+         |FROM read_parquet('${OracleDump.dir}/d10/*.parquet') ORDER BY vec_id""".stripMargin,
     "d08_simhash_groups" ->
       s"""SELECT group_size, n_groups
          |FROM read_parquet('${OracleDump.dir}/d08/*.parquet') ORDER BY group_size""".stripMargin,
