@@ -94,12 +94,25 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
     "q07_setops" -> ((s, d) => {
-      val li = t(s, d, "lineitem").join(broadcast(t(s, d, "part")),
-        col("l_partkey") === col("p_partkey"))
-      val a = li.where(col("p_brand") === "Brand#1").select(col("l_suppkey")).distinct()
-      val b = li.where(col("p_brand") === "Brand#2").select(col("l_suppkey")).distinct()
-      a.intersect(b).withColumn("op", lit("both"))
-        .union(a.except(b).withColumn("op", lit("only_a")))
+      // INTERSECT/EXCEPT of two DISTINCT projections over the same join,
+      // computed as ONE pass: per-suppkey presence flags for each brand
+      // (map-side-combinable bool-max agg), then the set membership is a
+      // projection — a in both ⟺ (inA ∧ inB), a only ⟺ (inA ∧ ¬inB).
+      // Identical result set to the intersect/except formulation (both
+      // operate on DISTINCT suppkeys; r6 plan: 1 lineitem scan + 1 agg
+      // exchange instead of 4 scans, 4 distinct exchanges and two
+      // sort-merge set-op joins — 26 Exchanges -> 3).
+      val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_brand").isin("Brand#1", "Brand#2"))
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      li.groupBy(col("l_suppkey"))
+        .agg(max(col("p_brand") === "Brand#1").as("in_a"),
+          max(col("p_brand") === "Brand#2").as("in_b"))
+        .where(col("in_a"))
+        .select(col("l_suppkey"),
+          when(col("in_b"), lit("both")).otherwise(lit("only_a")).as("op"))
         .orderBy(col("op"), col("l_suppkey"))
     }),
     "q08_heavy_hitters_exact" -> ((s, d) => {

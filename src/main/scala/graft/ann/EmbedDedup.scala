@@ -58,10 +58,17 @@ object EmbedDedup {
 
     val embA = vectors.select(col("vec_id").as("a"), col("embedding").as("a_emb"))
     val embB = vectors.select(col("vec_id").as("b"), col("embedding").as("b_emb"))
+    // persisted BEFORE the gating count, mirroring DedupPipeline.run
+    // (DedupPipeline.scala:323): without the pin, the count materializes
+    // the whole LSH -> pair gen -> double embedding join -> cosine verify
+    // chain and then runLocal's collect (or run's checkpointedSym)
+    // re-executes it — at the 1M-vector scale run that re-ran ~9.5M-edge
+    // cosine probes a second time (VERDICT r5 #2)
     val edges = cand.select(col("a"), col("b"))
       .join(embA, "a").join(embB, "b")
       .where(cosine_sim(col("a_emb"), col("b_emb")) >= threshold)
       .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // same small-graph gating as DedupPipeline.run: the driver union-find
     // is bit-identical to the distributed fixpoint (min of a component is
@@ -69,6 +76,9 @@ object EmbedDedup {
     val labels =
       if (edges.count() <= cfg.ccLocalMaxEdges) ConnectedComponents.runLocal(edges)
       else ConnectedComponents.run(edges, maxIter = 50)
+    // labels are materialized by here (runLocal collects; run checkpoints
+    // each round) — the edge cache has served both consumers
+    edges.unpersist(blocking = false)
 
     vectors.select(col("vec_id"))
       .join(labels.withColumnRenamed("id", "vec_id").withColumnRenamed("label", "lab"),

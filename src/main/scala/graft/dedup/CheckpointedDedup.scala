@@ -69,14 +69,26 @@ object CheckpointedDedup {
       if (cfg.broadcastLookups && nRows > cfg.broadcastLookupMaxRows)
         cfg.copy(broadcastLookups = false)
       else cfg
+    // Size shuffle parallelism to the INPUT, mirroring DedupPipeline.run:
+    // on a session sized for a big corpus (e.g. 32 partitions), a small
+    // checkpointed run otherwise schedules ~100 stages of 32 near-empty
+    // tasks each — measured at n=1000: ~80% of the lifecycle's task CPU was
+    // fixed per-task cost (parquet reader init, task deser), not work. The
+    // clamp is scale-adaptive (min(session, rows/2000+1)): at production
+    // row counts it is a no-op and the session's own sizing wins.
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = spark.conf.get(pKey)
+    val p = math.max(2L, math.min(prevP.toLong, nRows / 2000L + 1L)).toInt
+    spark.conf.set(pKey, p.toString)
     val aqeKey = "spark.sql.adaptive.enabled"
     val bcKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevAqe = spark.conf.getOption(aqeKey)
     val prevBc = spark.conf.getOption(bcKey)
     if (cfgEff.broadcastLookups) spark.conf.set(aqeKey, "false")
     spark.conf.set(bcKey, "-1")
-    try runStages(clips, workDir, cfgEff, stopAfter, maxCcRounds)
+    try runStages(clips, workDir, cfgEff, stopAfter, maxCcRounds, p)
     finally {
+      spark.conf.set(pKey, prevP)
       prevAqe match {
         case Some(v) => spark.conf.set(aqeKey, v)
         case None => spark.conf.unset(aqeKey)
@@ -91,15 +103,36 @@ object CheckpointedDedup {
   private def runStages(clips: DataFrame, workDir: String,
                         cfg: DedupConfig,
                         stopAfter: Option[String],
-                        maxCcRounds: Int): Option[DataFrame] = {
+                        maxCcRounds: Int,
+                        p: Int): Option[DataFrame] = {
     val spark = clips.sparkSession
 
+    // a fully completed workDir is a pure read: skip straight to the
+    // committed assignments instead of re-materializing sym + labels
+    if (SnapshotLog.exists(stageTable(workDir, "assignments")))
+      return Some(SnapshotLog.read(spark, stageTable(workDir, "assignments")))
+
     val features = stage(workDir, "features", Seq("input"), spark) {
-      DedupPipeline.features(clips, cfg)
+      // features is a map-only projection, so its natural partitioning is
+      // the input file layout (32 corpus files at n=1000); the clamp-sized
+      // repartition keeps the committed table — and every downstream scan
+      // of it — at p files instead of 32 near-empty ones
+      DedupPipeline.features(clips, cfg).repartition(p)
     }
     if (stopAfter.contains("features")) return None
     features.persist()
+    // every exit below releases the features cache: the returned
+    // assignments read from their committed snapshot, and a leaked entry
+    // would otherwise be served (via CacheManager plan-matching) to the
+    // NEXT lifecycle over the same workDir path
+    try runCc(clips, workDir, cfg, stopAfter, maxCcRounds, p, features)
+    finally features.unpersist(blocking = false)
+  }
 
+  private def runCc(clips: DataFrame, workDir: String, cfg: DedupConfig,
+                    stopAfter: Option[String], maxCcRounds: Int, p: Int,
+                    features: DataFrame): Option[DataFrame] = {
+    val spark = clips.sparkSession
     val edges = stage(workDir, "edges", Seq("features"), spark) {
       DedupPipeline.verifiedEdges(features, DedupPipeline.candidates(features, cfg), cfg)
     }
@@ -119,8 +152,6 @@ object CheckpointedDedup {
       }
       return Some(assignments)
     }
-    val sym = ConnectedComponents.checkpointedSym(edges,
-      math.max(2, spark.conf.get("spark.sql.shuffle.partitions").toInt))
     var labels: DataFrame = null
     var round = 0
     var converged = false
@@ -129,19 +160,30 @@ object CheckpointedDedup {
         labels = SnapshotLog.read(spark, labelsDir).localCheckpoint(true)
         round = snap.version + 1
         converged = snap.stage == "labels_converged"
-      case None =>
-        labels = ConnectedComponents.initLabels(sym).localCheckpoint(true)
+      case None => ()
     }
+    // sym is only needed when rounds remain — an already-converged resume
+    // must not pay its eager repartition+sort materialization
+    lazy val sym = ConnectedComponents.checkpointedSym(edges, math.max(2, p))
+    if (labels == null) labels = ConnectedComponents.initLabels(sym).localCheckpoint(true)
+    // convergence via the monotone label-sum invariant (one scan-agg per
+    // round) instead of the join+count changedCount — same fixpoint, no
+    // per-round join (see ConnectedComponents.labelSum)
+    var prevSum = if (converged) null else ConnectedComponents.labelSum(labels)
     while (!converged && round < maxCcRounds) {
       val t0 = System.nanoTime()
       val next = ConnectedComponents.step(sym, labels).localCheckpoint(true)
-      val changed = ConnectedComponents.changedCount(labels, next)
-      converged = changed == 0
+      val s = ConnectedComponents.labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       val stageName = if (converged) "labels_converged" else s"labels_round_$round"
       val snap = SnapshotLog.commit(next, labelsDir, stageName, Seq("edges"))
       metric(workDir, stageName, snap.rows, (System.nanoTime() - t0) / 1000000,
-        s""","changed":$changed""")
-      labels = SnapshotLog.read(spark, labelsDir, snap.version).localCheckpoint(true)
+        s""","label_sum":$s""")
+      // `next` is already eagerly checkpointed and bit-identical to the
+      // committed parquet (long columns round-trip exactly): carrying it
+      // forward skips a read-back + re-materialization per round
+      labels = next
       round += 1
       if (stopAfter.contains(stageName)) return None
     }
