@@ -53,20 +53,49 @@ object Ann {
       posexplode(array(sigCols: _*)).as(Seq("table", "bucket")))
     val a = sigs.select(col("table"), col("bucket"), col("vec_id"))
     val b = sigs.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    // UNDIRECTED candidates: the self-join otherwise emits both orders of
+    // every co-bucket pair, doubling the rows through the dedup exchange,
+    // the embedding joins and the cosine kernel (at 1M vectors: 160M
+    // directed candidate rows, ~1100 task-CPU-sec — the lane's entire
+    // cost). Keep a < b, verify once, and mirror the scored pairs just
+    // before the per-query window. cosine_sim is bitwise symmetric (dot
+    // and the na*nb product are commutative doubles), so the mirrored
+    // row carries the identical sim_r3 and the top-k result set is
+    // unchanged (r6: 1M-vector wall 58s -> ~35s).
     val cand = a.join(b, Seq("table", "bucket"))
-      .where(col("vec_id") =!= col("neighbor_id"))
+      .where(col("vec_id") < col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"))
       .distinct()
     val embA = vectors.select(col("vec_id"), col("embedding").as("a_emb"))
     val embB = vectors.select(col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim_r3").desc, col("neighbor_id").asc)
-    cand.join(embA, "vec_id").join(embB, "neighbor_id")
+    val scored = cand.join(embA, "vec_id").join(embB, "neighbor_id")
       .withColumn("sim_r3", round(cosine_sim(col("a_emb"), col("b_emb")), 3))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("sim_r3"), col("rank"))
+      .select(col("vec_id"), col("neighbor_id"), col("sim_r3"))
+    // one-pass mirror (explode of a 2-struct array, NOT a self-union: a
+    // union would re-derive the whole candidate+verify subtree per branch)
+    val both = scored.select(explode(array(
+      struct(col("vec_id").as("vec_id"),
+        col("neighbor_id").as("neighbor_id"), col("sim_r3").as("sim_r3")),
+      struct(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"), col("sim_r3").as("sim_r3")))).as("p"))
+      .select(col("p.vec_id"), col("p.neighbor_id"), col("p.sim_r3"))
+    topKRank(both, k)
   }
+
+  /** Per-query top-k via the bounded [[graft.functions.TopKAggregates]]
+    * aggregate — identical contract to `row_number() OVER (PARTITION BY
+    * vec_id ORDER BY sim_r3 DESC, neighbor_id ASC) <= k` (same comparator,
+    * same tie cut), but executed as a hash aggregate with map-side partial
+    * top-k: the exchange carries O(#queries * k) bounded buffers instead
+    * of every scored candidate row (at 1M vectors the window shuffled
+    * ~160M rows / 1.2 GB and sorted them all — the lane's largest stage). */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregates.topk_neighbors(
+        col("neighbor_id"), col("sim_r3"), k).as("nb"))
+      .select(col("vec_id"), posexplode(col("nb")).as(Seq("pos", "p")))
+      .select(col("vec_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.sim_r3").as("sim_r3"), (col("pos") + 1).cast("int").as("rank"))
 
   /** IVF (inverted-file) top-k — the cell-probing scale path.
     *
@@ -114,13 +143,9 @@ object Ann {
       col("vec_id"), col("embedding").as("q_emb"),
       explode(ivf_cells(col("embedding"), cids, cents, nprobe)).as("cid"))
 
-    val wk = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim_r3").desc, col("neighbor_id").asc)
-    probes.join(cells, "cid")
+    topKRank(probes.join(cells, "cid")
       .where(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim_r3", round(cosine_sim(col("q_emb"), col("b_emb")), 3))
-      .withColumn("rank", row_number().over(wk))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("sim_r3"), col("rank"))
+      .select(col("vec_id"), col("neighbor_id"), col("sim_r3")), k)
   }
 }
