@@ -144,7 +144,7 @@ object SparkEntry {
       // Identical result set to the intersect/except formulation (both
       // operate on DISTINCT suppkeys; r6 plan: 1 lineitem scan + 1 agg
       // exchange instead of 4 scans, 4 distinct exchanges and two
-      // sort-merge set-op joins — 26 Exchanges -> 3).
+      // sort-merge set-op joins — 13 Exchange operators -> 3).
       val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(t(s, d, "part")
           .where(col("p_brand").isin("Brand#1", "Brand#2"))
@@ -260,8 +260,11 @@ object SparkEntry {
     }),
     // ------------------------------------ training-data ops: documents
     "d01_dedup_exact" -> ((s, d) => {
+      // group on the 16-byte binary digest, not the 32-char hex string —
+      // bijective (same groups, and the key is dropped from the output),
+      // halves the agg key bytes through the exchange
       t(s, d, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .groupBy(unhex(md5(col("text").cast("binary"))).as("h"))
         .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("cnt"))
         .select(col("rep_doc_id"), col("cnt"))
         .orderBy(col("rep_doc_id"))
