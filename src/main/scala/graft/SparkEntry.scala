@@ -114,12 +114,20 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
     "q04_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // top-3 orders per customer. row_number().over(partitionBy(custkey))
+      // shuffled and sorted EVERY order row just to keep 3 per key; the
+      // bounded top-k aggregate has the identical (totalprice desc,
+      // orderkey asc) comparator and tie cut but reduces each task to <=3
+      // entries per custkey BEFORE the exchange (guide §2.3 "aggregate
+      // before you shuffle"). o_totalprice is a parquet double, so the
+      // comparison value is byte-identical to the window's.
       t(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAggregates.topk_neighbors(
+          col("o_orderkey"), col("o_totalprice"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("o_custkey"), col("p.neighbor_id").as("o_orderkey"),
+          (col("pos") + 1).cast("int").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
     "q05_semi_join" -> ((s, d) => {

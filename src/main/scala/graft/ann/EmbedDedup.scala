@@ -43,6 +43,25 @@ object EmbedDedup {
                cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // clamp shuffle width to the input for the lane's eager section (pair
+    // gen + verify + gating count + CC all run inside this call) — same
+    // scale-adaptive rule as DedupPipeline.run / AudioDedup.run: a 2k-vector
+    // query on a 32-partition session is mostly per-task fixed cost, while
+    // at production row counts the clamp is a no-op. Results are
+    // partitioning-independent (d10 oracle-gated).
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = spark.conf.get(pKey)
+    val p = math.max(2L, math.min(prevP.toLong, vectors.count() / 2000L + 1L))
+    spark.conf.set(pKey, p.toString)
+    try clustersInner(vectors, threshold, planesPerTable, tables, seed, cfg)
+    finally spark.conf.set(pKey, prevP)
+  }
+
+  private def clustersInner(vectors: DataFrame, threshold: Double,
+                            planesPerTable: Int, tables: Int, seed: Long,
+                            cfg: DedupConfig): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val sigCols = (0 until tables).map(t =>
       hyperplane_sig(col("embedding"), planesPerTable, seed + t))
     val sigs = vectors.select(col("vec_id"),
