@@ -48,14 +48,44 @@ object SnapshotLog {
     // enrich with partition lineage, then write immutable data files
     df.withColumn("__part", spark_partition_id())
       .write.mode("overwrite").partitionBy("__part").parquet(dd.toString)
-    val spark = df.sparkSession
-    val back = spark.read.parquet(dd.toString)
-    val partCounts = back.groupBy(col("__part")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // per-partition lineage from the parquet footers: driver-side metadata
+    // reads over the files just written — no second scan of the data
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val partCounts = partitionRowCounts(dd, hconf)
     val rows = partCounts.map(_._2).sum
     val snap = Snapshot(v, stage, rows, parents, partCounts.map(_._2).toSeq)
     writeManifest(tableDir, snap)
     snap
+  }
+
+  /** Row count per `__part=N` directory, summed from parquet footer
+    * metadata (row-group record counts) — the manifest source of truth
+    * without re-reading any data pages. */
+  private def partitionRowCounts(dd: Path,
+      hconf: org.apache.hadoop.conf.Configuration): Seq[(Int, Long)] = {
+    if (!Files.exists(dd)) return Nil
+    val dirStream = Files.list(dd)
+    val partDirs =
+      try dirStream.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("__part=")).toVector
+      finally dirStream.close()
+    partDirs.map { d =>
+      val part = d.getFileName.toString.stripPrefix("__part=").toInt
+      val fileStream = Files.list(d)
+      val files =
+        try fileStream.iterator().asScala.filter(
+          _.getFileName.toString.endsWith(".parquet")).toVector
+        finally fileStream.close()
+      (part, files.map(footerRowCount(_, hconf)).sum)
+    }.sortBy(_._1)
+  }
+
+  private def footerRowCount(file: Path,
+      hconf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), hconf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Read the data of a snapshot (latest by default), lineage column dropped. */
