@@ -315,14 +315,18 @@ object SparkEntry {
           Seq("lang", "tok"))
         .where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
-        .distinct()
-        // explicit width (REPARTITION_BY_NUM — exempt from AQE coalescing):
-        // the pair rows are tiny in bytes but each costs an array_intersect
-        // over the full token arrays downstream, so byte-based coalescing
-        // would serialize the verify onto one task (measured: two 1-task
-        // stages of ~13 and ~11 cpu-sec; the sort's sample pass re-executes
-        // the verify chain). Width follows the session sizing, not a const.
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        // pair dedup at an explicitly pinned width: the pair rows are tiny
+        // in bytes but each costs an array_intersect over the full token
+        // arrays downstream, so AQE's byte-based coalescing would serialize
+        // the verify onto one task (measured: two 1-task stages of ~13 and
+        // ~11 cpu-sec; the sort's sample pass re-executes the verify
+        // chain). repartition-by-key (REPARTITION_BY_NUM — exempt from
+        // coalescing) already satisfies the dedup agg's required
+        // distribution, so dropDuplicates adds NO second exchange — one
+        // shuffle of the pair set, width from the session conf, not a const.
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("a_id"), col("b_id"))
+        .dropDuplicates()
       val aT = docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
       val bT = docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
       cand.join(aT, "a_id").join(bT, "b_id")
