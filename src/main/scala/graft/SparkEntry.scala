@@ -334,6 +334,13 @@ object SparkEntry {
         .where(col("inter") >= T)
         .select(col("a_id"), col("b_id"), col("inter"),
           (size(col("a_toks")) + size(col("b_toks")) - col("inter")).as("uni"))
+        // pin the verified pairs before the global sort: the range
+        // exchange's boundary-sampling pass executes its child in a
+        // separate job, so without the pin the whole candidate+verify
+        // chain (the query's dominant cost) runs TWICE per invocation.
+        // localCheckpoint, not persist, for the same cross-run-safety
+        // reason as the tokenize pin above.
+        .localCheckpoint(true)
         .orderBy(col("a_id"), col("b_id"))
     }),
     "d03_minhash_clusters" -> ((s, d) => {
@@ -351,6 +358,8 @@ object SparkEntry {
     "d04_lang_id" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), lang_id(col("text")).as("pred_lang"))
+        // pin before the sort (range-sampling would re-run the text scan)
+        .localCheckpoint(true)
         .orderBy(col("doc_id"))
     }),
     "d05_token_stats" -> ((s, d) => {
@@ -360,6 +369,10 @@ object SparkEntry {
           size(split(norm, " ")).as("n_tokens"),
           regexp_count(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
           length(norm).as("n_chars_norm"))
+        // pin the narrow computed rows before the sort: the range
+        // exchange's sampling job re-executes its child, which here is
+        // the full text scan + the regex projection (the whole query)
+        .localCheckpoint(true)
         .orderBy(col("doc_id"))
     }),
     "q14_distinct" -> ((s, d) => {
@@ -375,6 +388,8 @@ object SparkEntry {
         .select(col("doc_id"), quality_score(col("text")).as("q"),
           lang_id(col("text")).as("pred_lang"))
         .where(col("q") >= 0.5)
+        // pin before the sort (range-sampling would re-run scan + scoring)
+        .localCheckpoint(true)
         .orderBy(col("doc_id"))
     }),
     "d07_fingerprint_groups" -> ((s, d) => {
@@ -465,6 +480,9 @@ object SparkEntry {
         .withColumn("sim_r3", round(cosine_sim(col("a_emb"), col("b_emb")), 3))
         .where(col("sim_r3") >= 0.45)
         .select(col("a_id"), col("b_id"), col("sim_r3"))
+        // pin before the sort: the range exchange's sampling job would
+        // otherwise re-execute the whole cosine cross-join a second time
+        .localCheckpoint(true)
         .orderBy(col("a_id"), col("b_id"))
     }),
     "q15_cube" -> ((s, d) => {
